@@ -1,0 +1,365 @@
+"""Matrix-variate Gaussian process regression of control-affine dynamics.
+
+The model (reference: bayes_cbf/control_affine_model.py, docstring at
+:1000-1007 and the math at :983-1091):
+
+    xdot = F(x)^T u_hom,   u_hom = [1; u],   F(x) in R^{(1+m) x n}
+    F(x) ~ MN( M, B k(x,x'), A )        (matrix-variate GP prior)
+
+so that  cov(vec F(x), vec F(x')) = k(x,x') * (B kron A),  and a training
+observation y_i = F(x_i)^T uh_i has
+
+    cov(y_i, y_j) = k(x_i, x_j) * (uh_i^T B uh_j) * A  =:  Kb_ij * A .
+
+Everything is closed-form Cholesky math on the k x k matrix Kb — the insight
+the reference itself arrived at after abandoning gpytorch inference
+("Gpytorch is complicated ... I take things in my own hands",
+bayes_cbf/control_affine_model.py:397-401).  We go further and use the same
+explicit math for *training* as well: the exact marginal log-likelihood of
+the matrix-normal observation model factorizes as
+
+    log p(Y) = -1/2 [ tr(A^{-1} Y^T Kb^{-1} Y) + n log|Kb| + k log|A|
+                      + k n log 2 pi ]
+
+which needs only a k x k and an n x n Cholesky per step — no lazy-tensor CG.
+
+TPU-first design decisions:
+  * fixed-shape ring-buffer training set with a validity mask, so the whole
+    online-learning loop can live inside one `jax.lax.scan` (SURVEY.md 5.7);
+  * the Gram/Cholesky/solve pipeline is batched dense linear algebra that
+    XLA maps straight onto the MXU; hyperparameter fitting is an
+    `optax`-driven `lax.scan`, jittable and therefore embeddable in the
+    rollout scan via `lax.cond`;
+  * dtype-polymorphic: float64 for reference-parity tests on CPU, float32
+    for the TPU fast path.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.linalg import kron, masked_cholesky, psd_cholesky
+
+_SQRT2PI_LOG = math.log(2.0 * math.pi)
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _inv_softplus(y: float) -> float:
+    return float(math.log(math.expm1(y))) if y < 20 else float(y)
+
+
+class MVGPParams(NamedTuple):
+    """Trainable hyperparameters (a pytree).
+
+    A = W_A W_A^T + diag(softplus(raw_vA))   — output-dim task covariance
+    B = W_B W_B^T + diag(softplus(raw_vB))   — control-channel task covariance
+    k(x,x') = softplus(raw_outputscale) * exp(-1/2 sum_d (dx_d/l_d)^2),
+    l = softplus(raw_lengthscale)            — ARD RBF data kernel
+    mean_M in R^{(1+m) x n}                  — constant prior mean of F
+    """
+    raw_lengthscale: jax.Array
+    raw_outputscale: jax.Array
+    W_A: jax.Array
+    raw_vA: jax.Array
+    W_B: jax.Array
+    raw_vB: jax.Array
+    mean_M: jax.Array
+
+    @property
+    def lengthscale(self):
+        return _softplus(self.raw_lengthscale)
+
+    @property
+    def outputscale(self):
+        return _softplus(self.raw_outputscale)
+
+    @property
+    def A(self):
+        return self.W_A @ self.W_A.T + jnp.diag(_softplus(self.raw_vA))
+
+    @property
+    def B(self):
+        return self.W_B @ self.W_B.T + jnp.diag(_softplus(self.raw_vB))
+
+
+class MVGPData(NamedTuple):
+    """Fixed-shape training buffer.  Rows with mask=0 are inert."""
+    X: jax.Array      # (K, n_state)
+    UH: jax.Array     # (K, 1+m) homogenized controls [1, u]
+    Xdot: jax.Array   # (K, n_state) observed (residual) state derivatives
+    mask: jax.Array   # (K,) float/bool validity
+
+
+class MVGPCache(NamedTuple):
+    """Posterior solve cache — the analogue of the reference's
+    `_perturbed_cholesky` cache (bayes_cbf/control_affine_model.py:379-395),
+    refreshed on refit instead of invalidated."""
+    L: jax.Array      # (K, K) Cholesky of masked Kb
+    alpha: jax.Array  # (K, n) = Kb^{-1} (Xdot - M^T uh)
+
+
+class MVGP(NamedTuple):
+    """Static model description (shapes/options only; hashable for jit)."""
+    x_dim: int
+    u_dim: int
+    rank_A: int
+    rank_B: int
+    jitter: float = 1e-6
+    gamma_prior: Optional[tuple] = None   # (concentration, rate) on lengthscale
+
+    # ---------------------------------------------------------- init
+
+    def init_params(self, key: jax.Array, dtype=jnp.float64) -> MVGPParams:
+        n, mh = self.x_dim, 1 + self.u_dim
+        kA, kB = jax.random.split(key)
+        raw1 = _inv_softplus(1.0)
+        return MVGPParams(
+            raw_lengthscale=jnp.full((self.x_dim,), raw1, dtype=dtype),
+            raw_outputscale=jnp.asarray(raw1, dtype=dtype),
+            W_A=0.3 * jax.random.normal(kA, (n, self.rank_A), dtype=dtype),
+            raw_vA=jnp.full((n,), raw1, dtype=dtype),
+            W_B=0.3 * jax.random.normal(kB, (mh, self.rank_B), dtype=dtype),
+            raw_vB=jnp.full((mh,), raw1, dtype=dtype),
+            mean_M=jnp.zeros((mh, n), dtype=dtype),
+        )
+
+    def empty_data(self, capacity: int, dtype=jnp.float64) -> MVGPData:
+        n, mh = self.x_dim, 1 + self.u_dim
+        return MVGPData(
+            X=jnp.zeros((capacity, n), dtype=dtype),
+            UH=jnp.zeros((capacity, mh), dtype=dtype),
+            Xdot=jnp.zeros((capacity, n), dtype=dtype),
+            mask=jnp.zeros((capacity,), dtype=dtype),
+        )
+
+    def make_data(self, X, U, Xdot) -> MVGPData:
+        """Pack a concrete training set (all rows valid)."""
+        X = jnp.asarray(X)
+        ones = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+        return MVGPData(X=X, UH=jnp.concatenate([ones, jnp.asarray(U)], -1),
+                        Xdot=jnp.asarray(Xdot),
+                        mask=jnp.ones((X.shape[0],), dtype=X.dtype))
+
+    # ---------------------------------------------------------- kernel
+
+    def k_xx(self, params: MVGPParams, X1: jax.Array, X2: jax.Array):
+        """ARD RBF data kernel, (b1, b2) Gram."""
+        ell = params.lengthscale
+        d = (X1[:, None, :] - X2[None, :, :]) / ell
+        return params.outputscale * jnp.exp(-0.5 * jnp.sum(d * d, -1))
+
+    def k_xx_single(self, params: MVGPParams, x: jax.Array, xp: jax.Array):
+        d = (x - xp) / params.lengthscale
+        return params.outputscale * jnp.exp(-0.5 * jnp.sum(d * d))
+
+    def gram_kb(self, params: MVGPParams, data: MVGPData):
+        """Masked k x k scalarized Gram: Kb = Kxx o (UH B UH^T) + jitter I."""
+        Kxx = self.k_xx(params, data.X, data.X)
+        uBu = data.UH @ params.B @ data.UH.T
+        Kb = Kxx * uBu
+        Kb = Kb + self.jitter * jnp.eye(Kb.shape[0], dtype=Kb.dtype)
+        return Kb
+
+    def residual_Y(self, params: MVGPParams, data: MVGPData):
+        """Y_i = xdot_i - M^T uh_i, zeroed on invalid rows.  (K, n)"""
+        MX = data.UH @ params.mean_M          # (K, n)
+        return (data.Xdot - MX) * data.mask[:, None]
+
+    # ---------------------------------------------------------- MLL / fit
+
+    def mll(self, params: MVGPParams, data: MVGPData):
+        """Exact matrix-normal marginal log likelihood, averaged per scalar
+        observation (matching gpytorch's ExactMarginalLogLikelihood
+        normalization used by the reference fit loop,
+        bayes_cbf/control_affine_model.py:310-334)."""
+        n = self.x_dim
+        kcnt = jnp.sum(data.mask)
+        Y = self.residual_Y(params, data)
+        _, Lb = masked_cholesky(self.gram_kb(params, data), data.mask,
+                                init_jitter=self.jitter)
+        _, LA = psd_cholesky(params.A, init_jitter=self.jitter)
+        # tr(A^{-1} Y^T Kb^{-1} Y) = || LA^{-1} (Lb^{-1} Y)^T ||_F^2
+        KinvY = jax.scipy.linalg.solve_triangular(Lb, Y, lower=True)
+        AinvYt = jax.scipy.linalg.solve_triangular(LA, KinvY.T, lower=True)
+        quad = jnp.sum(AinvYt * AinvYt)
+        # masked rows contribute log(1) = 0 to logdet Kb
+        logdet_Kb = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
+        logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LA)))
+        ll = -0.5 * (quad + n * logdet_Kb + kcnt * logdet_A
+                     + kcnt * n * _SQRT2PI_LOG)
+        if self.gamma_prior is not None:
+            conc, rate = self.gamma_prior
+            ell = params.lengthscale
+            ll = ll + jnp.sum((conc - 1.0) * jnp.log(ell) - rate * ell)
+        return ll / jnp.maximum(kcnt * n, 1.0)
+
+    def fit(self, params: MVGPParams, data: MVGPData,
+            training_iter: int = 50, lr: float = 0.1) -> MVGPParams:
+        """Adam on the negative MLL with the reference's MultiStepLR decay
+        milestones at 30/60/80/90% of the iteration budget (gamma=0.1,
+        bayes_cbf/control_affine_model.py:300-303).  Pure and jittable:
+        the whole fit is one lax.scan, so it can run under `lax.cond`
+        inside a rollout scan."""
+        boundaries = {int(f * training_iter): 0.1 for f in (0.3, 0.6, 0.8, 0.9)}
+        sched = optax.piecewise_constant_schedule(lr, boundaries)
+        opt = optax.chain(optax.scale_by_adam(),
+                          optax.scale_by_schedule(sched),
+                          optax.scale(-1.0))
+        loss = lambda p: -self.mll(p, data)
+
+        def step(carry, _):
+            p, opt_state = carry
+            g = jax.grad(loss)(p)
+            updates, opt_state = opt.update(g, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt_state), None
+
+        (params, _), _ = jax.lax.scan(step, (params, opt.init(params)),
+                                      None, length=training_iter)
+        return params
+
+    # ---------------------------------------------------------- posterior
+
+    def refresh_cache(self, params: MVGPParams, data: MVGPData) -> MVGPCache:
+        """Factor the masked Gram and precompute alpha = Kb^{-1} Y."""
+        _, L = masked_cholesky(self.gram_kb(params, data), data.mask,
+                               init_jitter=self.jitter)
+        Y = self.residual_Y(params, data)
+        alpha = jax.scipy.linalg.cho_solve((L, True), Y)
+        return MVGPCache(L=L, alpha=alpha)
+
+    def _kb_star(self, params: MVGPParams, data: MVGPData, Xtest: jax.Array):
+        """Cross-covariance block 𝔅(XU, x*): (b, K, 1+m), masked."""
+        Kxs = self.k_xx(params, Xtest, data.X)                   # (b, K)
+        UB = (data.UH @ params.B) * data.mask[:, None]           # (K, 1+m)
+        return Kxs[:, :, None] * UB[None, :, :]
+
+    def predict_matrix(self, params: MVGPParams, data: MVGPData,
+                       cache: MVGPCache, Xtest: jax.Array,
+                       Xtestp: Optional[jax.Array] = None,
+                       compute_cov: bool = True):
+        """Posterior of F at test states.
+
+        Returns (meanFT, A, Bk) with meanFT (b, n, 1+m) = posterior mean of
+        F^T, A (n, n) the output-dim task covariance, and Bk
+        (b, b', 1+m, 1+m) the posterior row covariance:
+            cov(vec F(x_i), vec F(x_j)) = Bk[i, j] kron A.
+        Parity: bayes_cbf/control_affine_model.py:983-1091
+        (_custom_predict_matrix), same O(k^2 b (1+m)) solve structure.
+        """
+        Xtestp_ = Xtest if Xtestp is None else Xtestp
+        b = Xtest.shape[0]
+        mh = 1 + self.u_dim
+        A = params.A
+        meanFT = jnp.broadcast_to(params.mean_M.T[None],
+                                  (b, self.x_dim, mh))
+        kb_star = self._kb_star(params, data, Xtest)             # (b, K, 1+m)
+        # mean: M^T + Y^T Kb^{-1} kb_star = M^T + alpha^T kb_star
+        meanFT = meanFT + jnp.einsum('kn,bkj->bnj', cache.alpha, kb_star)
+        if not compute_cov:
+            bp = Xtestp_.shape[0]
+            return meanFT, A, jnp.zeros((b, bp, mh, mh), dtype=Xtest.dtype)
+        kb_starp = (kb_star if Xtestp is None
+                    else self._kb_star(params, data, Xtestp_))
+        Kss = self.k_xx(params, Xtest, Xtestp_)                  # (b, b')
+        prior = Kss[:, :, None, None] * params.B[None, None]     # (b,b',1+m,1+m)
+        Kinv_kbp = jax.scipy.linalg.cho_solve(
+            (cache.L, True),
+            kb_starp.transpose(1, 0, 2).reshape(cache.L.shape[0], -1))
+        bp = Xtestp_.shape[0]
+        Kinv_kbp = Kinv_kbp.reshape(-1, bp, mh)                  # (K, b', 1+m)
+        cross = jnp.einsum('bki,kcj->bcij', kb_star, Kinv_kbp)
+        Bk = prior - cross
+        return meanFT, A, Bk
+
+    def predict_fullmat(self, params: MVGPParams, data: MVGPData,
+                        cache: MVGPCache, Xtest: jax.Array):
+        """Flattened posterior over vec(F) at a batch of test states.
+
+        Returns (mean (b(1+m)n,), var (b(1+m)n, b(1+m)n)) with var =
+        Bk_(b(1+m), b(1+m)) kron A — parity with custom_predict_fullmat
+        (bayes_cbf/control_affine_model.py:963-977), the speed-test metric.
+        """
+        meanFT, A, Bk = self.predict_matrix(params, data, cache, Xtest)
+        b = Xtest.shape[0]
+        mh = 1 + self.u_dim
+        # (b, b, 1+m, 1+m) -> (b(1+m), b(1+m))
+        BkXX = Bk.transpose(0, 2, 1, 3).reshape(b * mh, b * mh)
+        BkXX = 0.5 * (BkXX + BkXX.T)
+        var = kron(BkXX, A)
+        mean = meanFT.transpose(0, 2, 1).reshape(-1)  # (b, 1+m, n) flat
+        return mean, var
+
+    # ------------------------------------------------- pointwise functions
+    # Single-state closed forms used by the GP-algebra layer and controllers.
+    # All are differentiable in x (needed by GradientGP for rel-deg-2 CBCs).
+
+    def fT_post(self, params, data, cache, x):
+        """Posterior mean of F^T(x): (n, 1+m) for a single state x."""
+        kb = self._kb_star(params, data, x[None])[0]             # (K, 1+m)
+        return params.mean_M.T + jnp.einsum('kn,kj->nj', cache.alpha, kb)
+
+    def Bk_single(self, params, data, cache, x, xp):
+        """Posterior row covariance Bk(x, x'): (1+m, 1+m), single states."""
+        kb = self._kb_star(params, data, x[None])[0]
+        kbp = self._kb_star(params, data, xp[None])[0]
+        prior = self.k_xx_single(params, x, xp) * params.B
+        solved = jax.scipy.linalg.cho_solve((cache.L, True), kbp)
+        return prior - kb.T @ solved
+
+    def fu_mean(self, params, data, cache, u, x):
+        """mean of F(x)^T [1;u]: (n,)."""
+        uh = jnp.concatenate([jnp.ones((1,), dtype=u.dtype), u])
+        return self.fT_post(params, data, cache, x) @ uh
+
+    def fu_knl(self, params, data, cache, u, x, xp):
+        """cov(F(x)^T uh, F(x')^T uh) = (uh^T Bk uh) A : (n, n)."""
+        uh = jnp.concatenate([jnp.ones((1,), dtype=u.dtype), u])
+        s = uh @ self.Bk_single(params, data, cache, x, xp) @ uh
+        return s * params.A
+
+    def f_mean(self, params, data, cache, x):
+        """posterior mean of f(x) = F(x)^T e0: (n,)."""
+        return self.fT_post(params, data, cache, x)[:, 0]
+
+    def f_knl(self, params, data, cache, x, xp):
+        """cov(f(x), f(x')) = Bk[0,0] A."""
+        return self.Bk_single(params, data, cache, x, xp)[0, 0] * params.A
+
+    def g_mean(self, params, data, cache, x):
+        """posterior mean of g(x) = F(x)^T[:, 1:]: (n, m)."""
+        return self.fT_post(params, data, cache, x)[:, 1:]
+
+    def covar_fu_f(self, params, data, cache, u, x, xp):
+        """cross covariance cov(F(x)^T uh, f(x')) = (uh^T Bk e0) A.
+
+        Parity: the registered covariance between the Fu GP and the f GP
+        (bayes_cbf/control_affine_model.py:797, covar_fu_f)."""
+        uh = jnp.concatenate([jnp.ones((1,), dtype=u.dtype), u])
+        s = (uh @ self.Bk_single(params, data, cache, x, xp))[0]
+        return s * params.A
+
+
+def make_mvgp(x_dim: int, u_dim: int, **kw) -> MVGP:
+    """Full-rank MVGP (reference ControlAffineRegressorExact)."""
+    return MVGP(x_dim, u_dim, rank_A=x_dim, rank_B=1 + u_dim, **kw)
+
+
+def make_mvgp_rank1(x_dim: int, u_dim: int, **kw) -> MVGP:
+    """Rank-1 task factors + near-flat Gamma lengthscale prior
+    (reference ControlAffineRegressorExactRankOne, the flagship default)."""
+    kw.setdefault("gamma_prior", (1e-3, 1e-3))
+    return MVGP(x_dim, u_dim, rank_A=1, rank_B=1, **kw)
+
+
+def make_mvgp_diag(x_dim: int, u_dim: int, **kw) -> MVGP:
+    """Diagonal task covariances (reference ControlAffineRegMatrixDiag)."""
+    return MVGP(x_dim, u_dim, rank_A=0, rank_B=0, **kw)

@@ -1,0 +1,203 @@
+"""MVGP core tests.
+
+Mirrors the reference test strategy (SURVEY.md section 4):
+  - numpy-oracle Gram construction (tests/test_control_affine_kernel.py shape)
+  - train/predict statistical integration test with loose tolerances
+    (tests/test_control_affine_regression.py:81-229 shape, rel=0.1 abs=0.8)
+  - posterior consistency between full-matrix and pointwise paths
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_cbf_tpu.models import make_mvgp, make_mvgp_diag, make_cogp
+
+
+def _random_linear_system(rng, n, m):
+    """Random control-affine linear dynamics: xdot = Ax + Bu (the reference's
+    RandomDynamicsModel oracle, tests/test_control_affine_regression.py:22-78)."""
+    A = rng.normal(size=(n, n)) * 0.5
+    B = rng.normal(size=(n, m)) * 0.5
+    f = lambda X: X @ A.T
+    g = lambda X: np.tile(B[None], (X.shape[0], 1, 1))
+    return f, g
+
+
+def _sample_data(rng, f, g, n, m, k):
+    X = rng.uniform(-1, 1, size=(k, n))
+    U = rng.uniform(-1, 1, size=(k, m))
+    Xdot = f(X) + np.einsum('kij,kj->ki', g(X), U)
+    return X, U, Xdot
+
+
+def test_gram_matches_numpy_oracle():
+    """Kb = Kxx o (UH B UH^T) against a hand-built numpy Gram."""
+    n, m, k = 3, 2, 7
+    rng = np.random.default_rng(42)
+    gp = make_mvgp(n, m, jitter=0.0)
+    params = gp.init_params(jax.random.PRNGKey(0))
+    X = rng.normal(size=(k, n))
+    U = rng.normal(size=(k, m))
+    data = gp.make_data(X, U, np.zeros((k, n)))
+
+    ell = np.asarray(params.lengthscale)
+    s = float(params.outputscale)
+    B = np.asarray(params.B)
+    UH = np.concatenate([np.ones((k, 1)), U], axis=1)
+    Kxx = np.zeros((k, k))
+    for i in range(k):
+        for j in range(k):
+            d = (X[i] - X[j]) / ell
+            Kxx[i, j] = s * np.exp(-0.5 * np.sum(d * d))
+    expected = Kxx * (UH @ B @ UH.T)
+    np.testing.assert_allclose(np.asarray(gp.gram_kb(params, data)),
+                               expected, rtol=1e-9, atol=1e-12)
+
+
+def test_prior_predict_no_data():
+    """With an all-invalid mask the posterior equals the prior
+    (reference prior branch, control_affine_model.py:1024-1026)."""
+    n, m = 3, 2
+    gp = make_mvgp(n, m)
+    params = gp.init_params(jax.random.PRNGKey(1))
+    data = gp.empty_data(8)
+    cache = gp.refresh_cache(params, data)
+    Xtest = jnp.array([[0.3, -0.2, 0.5], [1.0, 0.0, -1.0]])
+    meanFT, A, Bk = gp.predict_matrix(params, data, cache, Xtest)
+    np.testing.assert_allclose(np.asarray(meanFT[0]),
+                               np.asarray(params.mean_M.T), atol=1e-12)
+    k00 = float(gp.k_xx_single(params, Xtest[0], Xtest[0]))
+    np.testing.assert_allclose(np.asarray(Bk[0, 0]),
+                               k00 * np.asarray(params.B), atol=1e-10)
+
+
+@pytest.mark.parametrize("maker", [make_mvgp, make_mvgp_diag])
+def test_train_predict_statistical(maker):
+    """Fit on a random linear control-affine system; posterior mean must
+    match held-out xdot within the reference's loose tolerances
+    (rel=0.10, abs=0.80 — tests/test_control_affine_regression.py:84-85)."""
+    seed = 11
+    print("test_train_predict seed:", seed)
+    rng = np.random.default_rng(seed)
+    n, m, k = 2, 1, 60
+    f, g = _random_linear_system(rng, n, m)
+    X, U, Xdot = _sample_data(rng, f, g, n, m, k)
+    ntrain = int(0.8 * k)
+
+    gp = maker(n, m)
+    params = gp.init_params(jax.random.PRNGKey(seed))
+    data = gp.make_data(X[:ntrain], U[:ntrain], Xdot[:ntrain])
+    params = gp.fit(params, data, training_iter=80)
+    cache = gp.refresh_cache(params, data)
+
+    # training points reproduce training targets
+    Xt, Ut = jnp.asarray(X[:ntrain]), jnp.asarray(U[:ntrain])
+    pred = jax.vmap(lambda x, u: gp.fu_mean(params, data, cache, u, x))(Xt, Ut)
+    err = np.abs(np.asarray(pred) - Xdot[:ntrain])
+    tol = 0.10 * np.abs(Xdot[:ntrain]) + 0.80
+    assert (err < tol).mean() > 0.9, f"train err {err.max()}"
+
+    # held-out points
+    Xv, Uv = jnp.asarray(X[ntrain:]), jnp.asarray(U[ntrain:])
+    pred = jax.vmap(lambda x, u: gp.fu_mean(params, data, cache, u, x))(Xv, Uv)
+    err = np.abs(np.asarray(pred) - Xdot[ntrain:])
+    tol = 0.10 * np.abs(Xdot[ntrain:]) + 0.80
+    assert (err < tol).mean() > 0.8, f"test err {err.max()}"
+
+
+def test_fullmat_consistent_with_pointwise():
+    n, m, k = 3, 2, 20
+    rng = np.random.default_rng(3)
+    f, g = _random_linear_system(rng, n, m)
+    X, U, Xdot = _sample_data(rng, f, g, n, m, k)
+    gp = make_mvgp(n, m)
+    params = gp.init_params(jax.random.PRNGKey(2))
+    data = gp.make_data(X, U, Xdot)
+    cache = gp.refresh_cache(params, data)
+
+    Xtest = jnp.asarray(rng.normal(size=(4, n)))
+    mean, var = gp.predict_fullmat(params, data, cache, Xtest)
+    assert mean.shape == (4 * (1 + m) * n,)
+    assert var.shape == (4 * (1 + m) * n, 4 * (1 + m) * n)
+    # pointwise f mean equals the fullmat mean block (row 0 of F^T)
+    fT0 = gp.fT_post(params, data, cache, Xtest[0])   # (n, 1+m)
+    np.testing.assert_allclose(
+        np.asarray(mean[: (1 + m) * n].reshape(1 + m, n)),
+        np.asarray(fT0.T), rtol=1e-8)
+    # var PSD-ish
+    w = np.linalg.eigvalsh(np.asarray(var))
+    assert w.min() > -1e-6
+    # pointwise knl consistency: cov(F(x0) uh, F(x0) uh)
+    u = jnp.asarray(rng.normal(size=(m,)))
+    uh = np.concatenate([[1.0], np.asarray(u)])
+    knl = np.asarray(gp.fu_knl(params, data, cache, u, Xtest[0], Xtest[0]))
+    V = np.asarray(var[: (1 + m) * n, : (1 + m) * n]).reshape(1 + m, n, 1 + m, n)
+    expected = np.einsum('r,rasc,s->ac', uh, V, uh)
+    np.testing.assert_allclose(knl, expected, rtol=1e-7, atol=1e-10)
+
+
+def test_masked_equals_dense_subset():
+    """A padded+masked buffer must produce the same posterior as a dense
+    buffer holding only the valid rows (fixed-shape ring-buffer parity)."""
+    n, m = 2, 1
+    rng = np.random.default_rng(7)
+    f, g = _random_linear_system(rng, n, m)
+    X, U, Xdot = _sample_data(rng, f, g, n, m, 10)
+    gp = make_mvgp(n, m)
+    params = gp.init_params(jax.random.PRNGKey(5))
+
+    dense = gp.make_data(X, U, Xdot)
+    cache_d = gp.refresh_cache(params, dense)
+
+    padded = gp.empty_data(16)
+    padded = padded._replace(
+        X=padded.X.at[:10].set(jnp.asarray(X)),
+        UH=padded.UH.at[:10].set(dense.UH),
+        Xdot=padded.Xdot.at[:10].set(jnp.asarray(Xdot)),
+        mask=padded.mask.at[:10].set(1.0))
+    cache_p = gp.refresh_cache(params, padded)
+
+    x = jnp.asarray(rng.normal(size=(n,)))
+    u = jnp.asarray(rng.normal(size=(m,)))
+    np.testing.assert_allclose(
+        np.asarray(gp.fu_mean(params, dense, cache_d, u, x)),
+        np.asarray(gp.fu_mean(params, padded, cache_p, u, x)), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(gp.fu_knl(params, dense, cache_d, u, x, x)),
+        np.asarray(gp.fu_knl(params, padded, cache_p, u, x, x)),
+        rtol=1e-7, atol=1e-12)
+
+
+def test_mll_increases_with_fit():
+    n, m, k = 2, 1, 40
+    rng = np.random.default_rng(9)
+    f, g = _random_linear_system(rng, n, m)
+    X, U, Xdot = _sample_data(rng, f, g, n, m, k)
+    gp = make_mvgp(n, m)
+    params0 = gp.init_params(jax.random.PRNGKey(3))
+    data = gp.make_data(X, U, Xdot)
+    mll0 = float(gp.mll(params0, data))
+    params1 = gp.fit(params0, data, training_iter=50)
+    mll1 = float(gp.mll(params1, data))
+    assert np.isfinite(mll0) and np.isfinite(mll1)
+    assert mll1 > mll0
+
+
+def test_cogp_train_predict():
+    """CoGP baseline learns the same system (looser check, it is the slow
+    baseline)."""
+    n, m, k = 2, 1, 40
+    rng = np.random.default_rng(13)
+    f, g = _random_linear_system(rng, n, m)
+    X, U, Xdot = _sample_data(rng, f, g, n, m, k)
+    gp = make_cogp(n, m)
+    params = gp.init_params(jax.random.PRNGKey(4))
+    data = gp.make_data(X, U, Xdot)
+    params = gp.fit(params, data, training_iter=60)
+    cache = gp.refresh_cache(params, data)
+    mean, var = gp.predict_fullmat(params, data, cache, jnp.asarray(X[:3]))
+    assert mean.shape == ((1 + m) * n * 3,)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    w = np.linalg.eigvalsh(np.asarray(var))
+    assert w.min() > -1e-5
