@@ -1,0 +1,305 @@
+"""L3 — GP expression algebra.
+
+A small symbolic DSL over Gaussian processes: every node exposes
+
+    mean(x)        -> (d,) or scalar
+    knl(x, xp)     -> (d, d) or scalar    (cov of the node with itself)
+    covar(Z,x,xp)  -> (d, dz)             (cross-cov with another node)
+
+mirroring the reference's `bayes_cbf/gp_algebra.py` but rebuilt for JAX:
+
+  * every mean/knl/covar is a *pure function* of its inputs, so the whole
+    expression tree can be built inside a jitted function and traced away
+    — the tree is static program structure, not runtime data;
+  * cross-covariances between leaves are an explicit registry on the leaf
+    (same id()-keyed mechanism as gp_algebra.py:306-309 — safe here because
+    trees are rebuilt per trace, never persisted);
+  * `GradientGP` uses `jax.grad` / forward-over-reverse Hessians instead of
+    torch autograd-graph surgery (gp_algebra.py:319-405), with the same
+    small-negative-eigenvalue clamping (EPS=2e-3) at x == x';
+  * the random @ random product kernel implements the exact Isserlis
+    second-moment formula; the reference's version carries a noted FIXME
+    (gp_algebra.py:152-159) — tested against Monte-Carlo in
+    tests/test_gp_algebra.py.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+EPS = 2e-3  # eigenvalue clamping threshold, parity with gp_algebra.py EPS
+
+
+def _as_matrix(k, d):
+    k = jnp.asarray(k)
+    if k.ndim == 0:
+        return k.reshape(1, 1) if d == 1 else k * jnp.eye(d)
+    return k
+
+
+class GP:
+    """Base node.  `dim` is the output dimension (1 for scalar GPs)."""
+
+    dim: int = 1
+
+    def mean(self, x):
+        raise NotImplementedError
+
+    def knl(self, x, xp):
+        raise NotImplementedError
+
+    def covar(self, Z: "GP", x, xp):
+        """cov(self(x), Z(xp)): (self.dim, Z.dim)."""
+        raise NotImplementedError
+
+    def sample(self, key, x):
+        m = jnp.atleast_1d(self.mean(x))
+        K = _as_matrix(self.knl(x, x), self.dim)
+        w, v = jnp.linalg.eigh(0.5 * (K + K.T))
+        L = v * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+        return m + L @ jax.random.normal(key, (self.dim,), dtype=m.dtype)
+
+    # -- operators (same surface as the reference) -----------------------
+    def __add__(self, Y):
+        return AddGP(self, Y)
+
+    def __mul__(self, a):
+        return ScaleGP(self, a)
+
+    __rmul__ = __mul__
+
+    def t(self):
+        return TransposeGP(self)
+
+    def __matmul__(self, Y):
+        base = self.base if isinstance(self, TransposeGP) else self
+        if isinstance(base, DeterministicGP):
+            return DotDetGP(base, Y)
+        if isinstance(Y, DeterministicGP):
+            return DotDetGP(Y, base)
+        return DotGP(base, Y)
+
+
+class DeterministicGP(GP):
+    """Zero-covariance wrapper of a deterministic vector function
+    (parity: gp_algebra.py DeterministicGP)."""
+
+    def __init__(self, fn: Callable, dim: int, name: str = "det"):
+        self.fn = fn
+        self.dim = dim
+        self.name = name
+
+    def mean(self, x):
+        return self.fn(x)
+
+    def knl(self, x, xp):
+        return jnp.zeros((self.dim, self.dim), dtype=jnp.asarray(x).dtype)
+
+    def covar(self, Z, x, xp):
+        if isinstance(Z, DeterministicGP):
+            return jnp.zeros((self.dim, Z.dim), dtype=jnp.asarray(x).dtype)
+        return Z.covar(self, xp, x).T
+
+
+class LeafGP(GP):
+    """A random leaf defined by mean/knl closures plus a registry of
+    cross-covariances with other leaves (gp_algebra.py:258-315)."""
+
+    def __init__(self, mean: Callable, knl: Callable, dim: int,
+                 assume_independence: bool = False, name: str = "gp"):
+        self._mean = mean
+        self._knl = knl
+        self.dim = dim
+        self.name = name
+        self.assume_independence = assume_independence
+        self._covars: Dict[int, Callable] = {id(self): knl}
+
+    def register_covar(self, other: "LeafGP", covar_fn: Callable,
+                       covar_fn_rev: Optional[Callable] = None):
+        """Register cov(self(x), other(xp)) = covar_fn(x, xp)."""
+        self._covars[id(other)] = covar_fn
+        rev = (covar_fn_rev if covar_fn_rev is not None
+               else lambda x, xp: covar_fn(xp, x).T)
+        other._covars[id(self)] = rev
+
+    def mean(self, x):
+        return self._mean(x)
+
+    def knl(self, x, xp):
+        return self._knl(x, xp)
+
+    def covar(self, Z, x, xp):
+        if isinstance(Z, LeafGP):
+            if id(Z) in self._covars:
+                return self._covars[id(Z)](x, xp)
+            if self.assume_independence or Z.assume_independence:
+                return jnp.zeros((self.dim, Z.dim),
+                                 dtype=jnp.asarray(x).dtype)
+            raise ValueError(
+                f"No covariance registered between leaf GPs {self.name} "
+                f"and {Z.name}")
+        if isinstance(Z, DeterministicGP):
+            return jnp.zeros((self.dim, Z.dim), dtype=jnp.asarray(x).dtype)
+        return Z.covar(self, xp, x).T
+
+
+class AddGP(GP):
+    def __init__(self, X: GP, Y: GP):
+        assert X.dim == Y.dim, (X.dim, Y.dim)
+        self.lhs, self.rhs = X, Y
+        self.dim = X.dim
+
+    def mean(self, x):
+        return self.lhs.mean(x) + self.rhs.mean(x)
+
+    def knl(self, x, xp):
+        X, Y = self.lhs, self.rhs
+        return (X.knl(x, xp) + Y.knl(x, xp)
+                + X.covar(Y, x, xp) + Y.covar(X, x, xp))
+
+    def covar(self, Z, x, xp):
+        return self.lhs.covar(Z, x, xp) + self.rhs.covar(Z, x, xp)
+
+
+class ScaleGP(GP):
+    def __init__(self, X: GP, a):
+        self.base = X
+        self.a = a
+        self.dim = X.dim
+
+    def mean(self, x):
+        return self.a * self.base.mean(x)
+
+    def knl(self, x, xp):
+        return (self.a ** 2) * self.base.knl(x, xp)
+
+    def covar(self, Z, x, xp):
+        return self.a * self.base.covar(Z, x, xp)
+
+
+class TransposeGP(GP):
+    """Bookkeeping node so that `h.t() @ f` reads like the reference."""
+
+    def __init__(self, X: GP):
+        self.base = X
+        self.dim = X.dim
+
+    def mean(self, x):
+        return self.base.mean(x)
+
+    def knl(self, x, xp):
+        return self.base.knl(x, xp)
+
+    def covar(self, Z, x, xp):
+        return self.base.covar(Z, x, xp)
+
+
+class DotDetGP(GP):
+    """h(x)^T f(x) for deterministic h and random f — exact
+    (gp_algebra.py GaussianProcessDetMatmulExpr).  Scalar output."""
+
+    dim = 1
+
+    def __init__(self, h: DeterministicGP, f: GP):
+        assert h.dim == f.dim
+        self.h, self.f = h, f
+
+    def mean(self, x):
+        return self.h.mean(x) @ self.f.mean(x)
+
+    def knl(self, x, xp):
+        return self.h.mean(x) @ self.f.knl(x, xp) @ self.h.mean(xp)
+
+    def covar(self, Z, x, xp):
+        c = self.h.mean(x) @ self.f.covar(Z, x, xp)
+        return c.reshape(1, -1)
+
+
+class DotGP(GP):
+    """X(x)^T Y(x) for jointly Gaussian X, Y — exact second moments.
+
+    mean  = mu_x^T mu_y + tr cov(X, Y)                  (same as reference)
+    knl   = mu_x1 Ky12 mu_x2 + mu_y1 Kx12 mu_y2
+            + mu_x1 Cxy12 mu_y2 + mu_y1 Cyx12 mu_x2
+            + sum(Kx12 * Ky12) + sum(Cxy12 * Cyx12^T)   (Isserlis)
+    The reference's knl (gp_algebra.py:152-159) approximates this and
+    carries a FIXME; we implement the exact expression.  Scalar output.
+    """
+
+    dim = 1
+
+    def __init__(self, X: GP, Y: GP):
+        assert X.dim == Y.dim
+        self.X, self.Y = X, Y
+
+    def mean(self, x):
+        X, Y = self.X, self.Y
+        return X.mean(x) @ Y.mean(x) + jnp.trace(X.covar(Y, x, x))
+
+    def knl(self, x, xp):
+        X, Y = self.X, self.Y
+        mx1, my1 = X.mean(x), Y.mean(x)
+        mx2, my2 = X.mean(xp), Y.mean(xp)
+        Kx12 = X.knl(x, xp)
+        Ky12 = Y.knl(x, xp)
+        Cxy12 = X.covar(Y, x, xp)   # cov(X(x), Y(xp))
+        Cyx12 = Y.covar(X, x, xp)   # cov(Y(x), X(xp))
+        mean_terms = (mx1 @ Ky12 @ mx2 + my1 @ Kx12 @ my2
+                      + mx1 @ Cyx12.T @ my2 + my1 @ Cxy12.T @ mx2)
+        quartic = jnp.sum(Kx12 * Ky12) + jnp.sum(Cxy12 * Cyx12.T)
+        return mean_terms + quartic
+
+    def covar(self, Z, x, xp):
+        X, Y = self.X, self.Y
+        c = X.mean(x) @ Y.covar(Z, x, xp) + Y.mean(x) @ X.covar(Z, x, xp)
+        return c.reshape(1, -1)
+
+
+class GradientGP(GP):
+    """GP of the gradient of a scalar GP f:  (grad f)(x).
+
+    mean  = grad_x f.mean              (jax.grad)
+    knl   = d^2 k_f / dx dx'           (jacfwd-of-grad mixed Hessian)
+    covar = d/dx cov(f, Z)             (jacobian, transposed)
+
+    with PSD repair of small negative eigenvalues at x == x'
+    (parity: gp_algebra.py:319-405 incl. the EPS=2e-3 clamp at :384-392;
+    here the clamp is in-graph via `jnp.where` so it jits).
+    """
+
+    def __init__(self, f: GP, x_dim: int):
+        assert f.dim == 1
+        self.f = f
+        self.dim = x_dim
+
+    def _scalar_mean(self, x):
+        return jnp.reshape(self.f.mean(x), ())
+
+    def _scalar_knl(self, x, xp):
+        return jnp.reshape(self.f.knl(x, xp), ())
+
+    def mean(self, x):
+        return jax.grad(self._scalar_mean)(x)
+
+    def knl(self, x, xp):
+        H = jax.jacfwd(jax.grad(self._scalar_knl, argnums=0),
+                       argnums=1)(x, xp)
+        same = jnp.all(jnp.abs(x - xp) < 1e-12)
+
+        def clamp(Hm):
+            Hs = 0.5 * (Hm + Hm.T)
+            w, v = jnp.linalg.eigh(Hs)
+            w = jnp.where((w < 0) & (w > -EPS), 0.0, w)
+            return (v * w[None, :]) @ v.T
+
+        return jax.lax.cond(same, clamp, lambda Hm: Hm, H)
+
+    def covar(self, Z, x, xp):
+        J = jax.jacfwd(lambda xs: self.f.covar(Z, xs, xp))(x)
+        # J: (1, dz, dx) -> (dx, dz)
+        J = jnp.reshape(J, (-1, self.dim)) if J.ndim == 2 else J
+        if J.ndim == 3:
+            J = J[0]          # (dz, dx)
+        return J.T

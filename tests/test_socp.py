@@ -1,0 +1,138 @@
+"""SOCP solver tests: analytic solutions, KKT optimality on random
+feasible problems, scipy cross-check, and vmap batching."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import minimize
+
+from bayesian_cbf_tpu.solvers import solve_socp, solve_qp_active_set
+from bayesian_cbf_tpu.solvers.socp import cones_from_constraints
+
+
+def test_unit_ball_analytic():
+    """min c^T x s.t. ||x|| <= 1  ->  x* = -c/||c||."""
+    c = jnp.array([3.0, -4.0])
+    # cone: s0 = 1, s1 = x  ->  G = [[0,0],[-1,0],[0,-1]], h = [1,0,0]
+    G = jnp.array([[0.0, 0.0], [-1.0, 0.0], [0.0, -1.0]])
+    h = jnp.array([1.0, 0.0, 0.0])
+    sol = solve_socp(c, G, h, dims=(3,))
+    np.testing.assert_allclose(np.asarray(sol.x), [-0.6, 0.8], atol=1e-6)
+    assert float(sol.pres) < 1e-7 and float(sol.dres) < 1e-7
+
+
+def test_orthant_lp():
+    """min x+y s.t. x >= 1, y >= 2 (two 1-dim cones)."""
+    c = jnp.array([1.0, 1.0])
+    G = jnp.array([[-1.0, 0.0], [0.0, -1.0]])
+    h = jnp.array([-1.0, -2.0])
+    sol = solve_socp(c, G, h, dims=(1, 1))
+    np.testing.assert_allclose(np.asarray(sol.x), [1.0, 2.0], atol=1e-6)
+
+
+def test_mixed_cones_vs_scipy():
+    """Random feasible SOCPs cross-checked against scipy SLSQP."""
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        nx = 3
+        c = rng.normal(size=nx)
+        constraints = []
+        for _ in range(2):
+            A = rng.normal(size=(2, nx))
+            b = rng.normal(size=2) * 0.1
+            cv = rng.normal(size=nx) * 0.1
+            d = 2.0 + rng.uniform()   # strictly feasible at x=0
+            constraints.append((jnp.array(A), jnp.array(b),
+                                jnp.array(cv), jnp.array(d)))
+        # box |x_i| <= 5 as 1-dim cones to keep it bounded
+        for i in range(nx):
+            ei = np.zeros(nx); ei[i] = 1.0
+            constraints.append((jnp.zeros((1, nx)), jnp.zeros((1,)),
+                                jnp.array(-ei), jnp.array(5.0)))
+            constraints.append((jnp.zeros((1, nx)), jnp.zeros((1,)),
+                                jnp.array(ei), jnp.array(5.0)))
+        G, h, dims = cones_from_constraints(constraints)
+        sol = solve_socp(jnp.array(c), G, h, dims)
+
+        def neg_margin(x):
+            out = []
+            for (A, b, cv, d) in constraints:
+                out.append(float(np.asarray(cv) @ x + np.asarray(d))
+                           - np.linalg.norm(np.asarray(A) @ x + np.asarray(b)))
+            return np.array(out)
+
+        res = minimize(lambda x: c @ x, np.zeros(nx), method="SLSQP",
+                       constraints=[{"type": "ineq", "fun": neg_margin}])
+        assert res.success
+        # same optimal value
+        np.testing.assert_allclose(float(sol.pcost), float(res.fun),
+                                   rtol=1e-4, atol=1e-5)
+        # our solution is feasible
+        assert neg_margin(np.asarray(sol.x)).min() > -1e-6
+
+
+def test_qp_epigraph():
+    """min ||Au+b||^2 s.t. u >= lo elementwise — vs scipy."""
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(3, 2))
+    b = rng.normal(size=3)
+    lin_cs = jnp.eye(2)
+    lin_ds = jnp.array([0.5, 0.5])    # u_i >= -0.5
+    u, sol = solve_qp_active_set(jnp.array(A), jnp.array(b), lin_cs, lin_ds)
+    res = minimize(lambda u: np.sum((A @ u + b) ** 2), np.zeros(2),
+                   method="SLSQP",
+                   constraints=[{"type": "ineq",
+                                 "fun": lambda u: u + 0.5}])
+    np.testing.assert_allclose(np.asarray(u), res.x, atol=1e-4)
+
+
+def test_vmap_batch():
+    """The solver vmaps: a batch of unit-ball LPs in one call."""
+    cs = jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    G = jnp.array([[0.0, 0.0], [-1.0, 0.0], [0.0, -1.0]])
+    h = jnp.array([1.0, 0.0, 0.0])
+    solve = jax.vmap(lambda c: solve_socp(c, G, h, dims=(3,)).x)
+    xs = solve(cs)
+    expected = -cs / jnp.linalg.norm(cs, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(expected),
+                               atol=1e-6)
+
+
+def test_controller_shaped_socp():
+    """The exact cone structure the Bayes-CBF controller emits:
+    epigraph objective + CLC cone + 2 CBC cones, 4 variables."""
+    rng = np.random.default_rng(2)
+    nx = 4  # [v, omega, relax, t]
+    c = jnp.array([0.0, 0.0, 0.0, 1.0])
+    constraints = []
+    # objective cone ||W(z - ref)|| <= t over z = [v, omega, relax]
+    W = np.diag([0.57, 0.57, 0.57])
+    Aobj = np.concatenate([-W, np.zeros((3, 1))], axis=1)
+    cobj = np.array([0.0, 0.0, 0.0, 1.0])
+    constraints.append((jnp.array(Aobj), jnp.zeros(3), jnp.array(cobj),
+                        jnp.array(0.0)))
+    # CLC/CBC-like cones: rho||A u + b|| <= c^T u + d + (relax for CLC)
+    for i in range(3):
+        A = np.zeros((3, 4)); A[:, :2] = rng.normal(size=(3, 2)) * 0.3
+        b = rng.normal(size=3) * 0.05
+        cv = np.zeros(4); cv[:2] = rng.normal(size=2)
+        if i == 0:
+            cv[2] = 1.0  # relax enters the CLC linearly
+        d = 1.5 + rng.uniform()
+        constraints.append((jnp.array(A), jnp.array(b), jnp.array(cv),
+                            jnp.array(d)))
+    G, h, dims = cones_from_constraints(constraints)
+    sol = solve_socp(c, G, h, dims)
+    assert float(sol.pres) < 1e-6 and float(sol.dres) < 1e-6
+
+    def neg_margin(x):
+        return np.array([
+            float(np.asarray(cv) @ x + np.asarray(d))
+            - np.linalg.norm(np.asarray(A) @ x + np.asarray(b))
+            for (A, b, cv, d) in constraints])
+
+    res = minimize(lambda x: np.asarray(c) @ x, np.zeros(nx), method="SLSQP",
+                   constraints=[{"type": "ineq", "fun": neg_margin}])
+    assert res.success
+    np.testing.assert_allclose(float(sol.pcost), float(res.fun),
+                               rtol=1e-4, atol=1e-5)
