@@ -1,0 +1,353 @@
+"""Control-affine dynamics models (environments' ground truth and priors).
+
+Parity targets: PolarDynamics / CartesianDynamics / AckermannDrive /
+ZeroDynamics (bayes_cbf/unicycle_move_to_pose.py:143-292, misc.py:194-213)
+and the online-learning wrapper LearnedShiftInvariantDynamics
+(unicycle_move_to_pose.py:295-428), rebuilt as pure pytree state + pure
+functions so the whole sense->buffer->refit->predict cycle lives inside a
+`jax.lax.scan`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..gp.algebra import DeterministicGP, LeafGP
+from .mvgp import MVGP, MVGPCache, MVGPData, MVGPParams
+
+
+class CartesianDynamics(NamedTuple):
+    """Unicycle: xdot = [v cos th, v sin th, omega]; f = 0
+    (unicycle_move_to_pose.py:167-197)."""
+    state_size: int = 3
+    ctrl_size: int = 2
+
+    def f_func(self, x):
+        return jnp.zeros_like(x)
+
+    def g_func(self, x):
+        th = x[2]
+        z = jnp.zeros((), x.dtype)
+        o = jnp.ones((), x.dtype)
+        return jnp.array([[jnp.cos(th), z],
+                          [jnp.sin(th), z],
+                          [z, o]])
+
+    def F_func(self, x):
+        return jnp.concatenate([self.f_func(x)[:, None], self.g_func(x)], 1)
+
+    def fu_func_gp(self, u):
+        return LeafGP(
+            mean=lambda x: self.f_func(x) + self.g_func(x) @ u,
+            knl=lambda x, xp: (u @ u + 1.0) * jnp.eye(self.state_size,
+                                                      dtype=u.dtype),
+            dim=self.state_size, assume_independence=True,
+            name="CartesianDynamics")
+
+    def step(self, x, u, dt):
+        xdot = self.f_func(x) + self.g_func(x) @ u
+        return x + xdot * dt, xdot
+
+
+class PolarDynamics(NamedTuple):
+    """Unicycle in polar coordinates (unicycle_move_to_pose.py:143-165)."""
+    state_size: int = 3
+    ctrl_size: int = 2
+
+    def f_func(self, x):
+        return jnp.zeros_like(x)
+
+    def g_func(self, x):
+        rho, alpha = x[0], x[1]
+        z = jnp.zeros((), x.dtype)
+        o = jnp.ones((), x.dtype)
+        return jnp.array([[-jnp.cos(alpha), z],
+                          [-jnp.sin(alpha) / rho, o],
+                          [-jnp.sin(alpha) / rho, z]])
+
+    def step(self, x, u, dt):
+        xdot = self.f_func(x) + self.g_func(x) @ u
+        return x + xdot * dt, xdot
+
+
+class AckermannDrive(NamedTuple):
+    """Ackermann car with wheelbase L: th_dot = u2 / L, u = [v, v tan phi]
+    (unicycle_move_to_pose.py:200-292).  `kernel_diag_A` is the prior
+    output covariance used when this model serves as the *mean dynamics*
+    of the Bayesian controller (B = I)."""
+    L: float = 0.2
+    kernel_diag_A: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    state_size: int = 3
+    ctrl_size: int = 2
+
+    def f_func(self, x):
+        return jnp.zeros_like(x)
+
+    def g_func(self, x):
+        th = x[2]
+        z = jnp.zeros((), x.dtype)
+        return jnp.array([[jnp.cos(th), z],
+                          [jnp.sin(th), z],
+                          [z, jnp.asarray(1.0 / self.L, x.dtype)]])
+
+    def F_func(self, x):
+        return jnp.concatenate([self.f_func(x)[:, None], self.g_func(x)], 1)
+
+    def fu_func_gp(self, u):
+        A = jnp.diag(jnp.asarray(self.kernel_diag_A, dtype=u.dtype))
+        uh = jnp.concatenate([jnp.ones((1,), u.dtype), u])
+        return LeafGP(
+            mean=lambda x: self.f_func(x) + self.g_func(x) @ u,
+            knl=lambda x, xp: (uh @ uh) * A,
+            dim=self.state_size, assume_independence=True,
+            name="AckermannDrive")
+
+    def step(self, x, u, dt):
+        xdot = self.f_func(x) + self.g_func(x) @ u
+        return x + xdot * dt, xdot
+
+    def predict_fullmat(self, Xtest):
+        """Exact prior over vec F: mean = F(x) flattened (1+m major), var =
+        I_b kron (B kron A) (unicycle_move_to_pose.py:284-292)."""
+        b = Xtest.shape[0]
+        A = jnp.diag(jnp.asarray(self.kernel_diag_A, dtype=Xtest.dtype))
+        B = jnp.eye(self.ctrl_size + 1, dtype=Xtest.dtype)
+        mean = jax.vmap(lambda x: self.F_func(x).T.reshape(-1))(Xtest)
+        from ..utils.linalg import kron
+        var = kron(jnp.eye(b, dtype=Xtest.dtype), kron(B, A))
+        return mean.reshape(-1), var
+
+
+class ZeroDynamics(NamedTuple):
+    """Zero drift and actuation (misc.py:194-213); Bayesian variant has a
+    unit-kernel GP (unicycle_move_to_pose.py:794-798)."""
+    state_size: int = 3
+    ctrl_size: int = 2
+
+    def f_func(self, x):
+        return jnp.zeros_like(x)
+
+    def g_func(self, x):
+        return jnp.zeros((self.state_size, self.ctrl_size), x.dtype)
+
+    def F_func(self, x):
+        return jnp.zeros((self.state_size, 1 + self.ctrl_size), x.dtype)
+
+    def fu_func_gp(self, u):
+        return LeafGP(
+            mean=lambda x: jnp.zeros((self.state_size,), x.dtype),
+            knl=lambda x, xp: (u @ u + 1.0) * jnp.eye(self.state_size,
+                                                      dtype=u.dtype),
+            dim=self.state_size, assume_independence=True, name="Zero")
+
+    def step(self, x, u, dt):
+        return x, jnp.zeros_like(x)
+
+
+class PendulumDynamics(NamedTuple):
+    """Inverted pendulum: x = (theta, omega),
+    f = [omega, -(g/l) sin theta], g = [0, 1/(m l)]
+    (bayes_cbf/pendulum.py:82-130)."""
+    mass: float = 1.0
+    gravity: float = 10.0
+    length: float = 1.0
+    state_size: int = 2
+    ctrl_size: int = 1
+
+    def f_func(self, x):
+        th, w = x[0], x[1]
+        return jnp.stack([w, -(self.gravity / self.length) * jnp.sin(th)])
+
+    def g_func(self, x):
+        return jnp.array([[0.0], [1.0 / (self.mass * self.length)]],
+                         dtype=x.dtype)
+
+    def F_func(self, x):
+        return jnp.concatenate([self.f_func(x)[:, None], self.g_func(x)], 1)
+
+    def fu_func_gp(self, u):
+        return LeafGP(
+            mean=lambda x: self.f_func(x) + self.g_func(x) @ u,
+            knl=lambda x, xp: (u @ u + 1.0) * jnp.eye(self.state_size,
+                                                      dtype=u.dtype),
+            dim=self.state_size, assume_independence=True, name="Pendulum")
+
+    def step(self, x, u, dt):
+        from ..utils.func import normalize_radians
+        xdot = self.f_func(x) + self.g_func(x) @ u
+        x_next = x + xdot * dt
+        # wrap theta to (-pi, pi] (pendulum.py:226)
+        x_next = x_next.at[0].set(normalize_radians(x_next[0]))
+        return x_next, xdot
+
+
+# --------------------------------------------------------------------------
+# Online-learned residual dynamics with shift invariance
+# --------------------------------------------------------------------------
+
+class LearnedDynState(NamedTuple):
+    """Carry-state of the online learner (fixed shapes for lax.scan).
+
+    `buf` is the live reservoir; `data` is the snapshot the GP was last
+    *fitted* on — predictions use (params, data, cache) so that, exactly
+    like the reference (whose ExactGP training set only changes inside
+    fit(), control_affine_model.py:289-290), the posterior is constant
+    between refits."""
+    params: MVGPParams
+    buf: MVGPData          # live reservoir buffer, capacity = max_train
+    data: MVGPData         # fitted snapshot (same shapes)
+    cache: MVGPCache
+    prev_x: jax.Array
+    prev_u: jax.Array
+    have_prev: jax.Array   # bool scalar
+    count_pairs: jax.Array # int32: (x,u) pairs recorded (reference's len(Xtrain))
+    count_res: jax.Array   # int32: xdot samples offered to the reservoir
+    key: jax.Array
+
+
+class LearnedShiftInvariantDynamics(NamedTuple):
+    """mean dynamics + learned MVGP residual with translation invariance
+    (x, y zeroed before entering the kernel: unicycle_move_to_pose.py:326-330).
+
+    The reference buffers every (x, u), and every `train_every_n_steps`
+    differences the trajectory for xdot, subtracts the mean-dynamics
+    prediction, subsamples uniformly to max_train, and refits
+    (unicycle_move_to_pose.py:340-384).  Here the uniform subsample is a
+    reservoir (Algorithm R) so the buffer has fixed shape, and the refit is
+    a `lax.cond`-guarded jitted Adam loop — the whole learner lives inside
+    the rollout scan."""
+    gp: MVGP
+    mean_dynamics: NamedTuple = AckermannDrive()
+    max_train: int = 200
+    training_iter: int = 100
+    shift_invariant: bool = True
+    train_every_n_steps: int = 20
+    enable_learning: bool = True
+    dt: float = 0.01
+
+    # ------------------------------------------------------------ state
+
+    def init_state(self, key, dtype=jnp.float64) -> LearnedDynState:
+        kp, kr = jax.random.split(key)
+        params = self.gp.init_params(kp, dtype=dtype)
+        data = self.gp.empty_data(self.max_train, dtype=dtype)
+        cache = self.gp.refresh_cache(params, data)
+        n, m = self.gp.x_dim, self.gp.u_dim
+        return LearnedDynState(
+            params=params, buf=data, data=data, cache=cache,
+            prev_x=jnp.zeros((n,), dtype), prev_u=jnp.zeros((m,), dtype),
+            have_prev=jnp.zeros((), bool),
+            count_pairs=jnp.zeros((), jnp.int32),
+            count_res=jnp.zeros((), jnp.int32), key=kr)
+
+    def _shift_inv(self, x):
+        if not self.shift_invariant:
+            return x
+        return jnp.concatenate([jnp.zeros_like(x[:-1]), x[-1:]])
+
+    # ------------------------------------------------------------ predict
+
+    def _learned_fu_gp(self, state: LearnedDynState, u):
+        gp = self.gp
+        si = self._shift_inv
+        return LeafGP(
+            mean=lambda x: gp.fu_mean(state.params, state.data, state.cache,
+                                      u, si(x)),
+            knl=lambda x, xp: gp.fu_knl(state.params, state.data,
+                                        state.cache, u, si(x), si(xp)),
+            dim=gp.x_dim, assume_independence=True, name="learned_fu")
+
+    def fu_func_gp(self, state: LearnedDynState, u):
+        """DeterministicGP(mean dynamics) + learned residual GP
+        (unicycle_move_to_pose.py:388-398)."""
+        md = self.mean_dynamics
+        if not self.enable_learning:
+            return md.fu_func_gp(u)
+        det = DeterministicGP(
+            lambda x: md.f_func(x) + md.g_func(x) @ u,
+            dim=self.gp.x_dim, name="mean_dyn")
+        return det + self._learned_fu_gp(state, u)
+
+    def f_func(self, state, x):
+        xs = self._shift_inv(x)
+        learned = self.gp.f_mean(state.params, state.data, state.cache, xs)
+        return self.mean_dynamics.f_func(x) + learned
+
+    def g_func(self, state, x):
+        xs = self._shift_inv(x)
+        learned = self.gp.g_mean(state.params, state.data, state.cache, xs)
+        return self.mean_dynamics.g_func(x) + learned
+
+    def predict_fullmat(self, state: LearnedDynState, Xtest):
+        """mean-dynamics F plus learned residual posterior
+        (unicycle_move_to_pose.py:406-428)."""
+        if not self.enable_learning:
+            return self.mean_dynamics.predict_fullmat(Xtest)
+        Xsi = jax.vmap(self._shift_inv)(Xtest)
+        dmean, dvar = self.gp.predict_fullmat(state.params, state.data,
+                                              state.cache, Xsi)
+        mmean = jax.vmap(
+            lambda x: self.mean_dynamics.F_func(x).T.reshape(-1))(Xtest)
+        return mmean.reshape(-1) + dmean, dvar
+
+    # ------------------------------------------------------------ learn
+
+    def observe(self, state: LearnedDynState, x, u) -> LearnedDynState:
+        """Record (x, u); if a previous pair exists, push the finite-diff
+        xdot residual sample into the reservoir; refit on schedule."""
+        gp = self.gp
+        md = self.mean_dynamics
+
+        # finite-difference residual from the previous step
+        xdot = (x - state.prev_x) / self.dt
+        xprev_si = self._shift_inv(state.prev_x)
+        xdot_mean = md.f_func(xprev_si) + md.g_func(xprev_si) @ state.prev_u
+        resid = xdot - xdot_mean
+
+        key, kslot = jax.random.split(state.key)
+        cap = self.max_train
+        # reservoir slot: first `cap` samples fill; later ones replace
+        # uniformly with probability cap / (count_res + 1)
+        j = jax.random.randint(kslot, (), 0, jnp.maximum(state.count_res + 1, 1))
+        slot = jnp.where(state.count_res < cap, state.count_res, j)
+        accept = state.have_prev & ((state.count_res < cap) | (j < cap))
+        slot = jnp.clip(slot, 0, cap - 1)
+
+        uh = jnp.concatenate([jnp.ones((1,), u.dtype), state.prev_u])
+        buf = state.buf
+        buf = buf._replace(
+            X=buf.X.at[slot].set(jnp.where(accept, xprev_si, buf.X[slot])),
+            UH=buf.UH.at[slot].set(jnp.where(accept, uh, buf.UH[slot])),
+            Xdot=buf.Xdot.at[slot].set(jnp.where(accept, resid,
+                                                 buf.Xdot[slot])),
+            mask=buf.mask.at[slot].set(jnp.where(accept, 1.0,
+                                                 buf.mask[slot])))
+        count_res = state.count_res + accept.astype(jnp.int32)
+
+        # refit on the reference's schedule: len(Xtrain) > 0 and
+        # len(Xtrain) % train_every_n_steps == 0 (checked *before* append,
+        # unicycle_move_to_pose.py:341-344)
+        do_fit = ((state.count_pairs > 0)
+                  & (state.count_pairs % self.train_every_n_steps == 0)
+                  & (count_res > 0))
+        if not self.enable_learning:
+            do_fit = jnp.zeros((), bool)
+
+        def fit_branch(args):
+            params, b = args
+            params = gp.fit(params, b, training_iter=self.training_iter)
+            return params, b, gp.refresh_cache(params, b)
+
+        def skip_branch(args):
+            params, _ = args
+            return params, state.data, state.cache
+
+        params, data, cache = jax.lax.cond(
+            do_fit, fit_branch, skip_branch, (state.params, buf))
+
+        return state._replace(
+            params=params, buf=buf, data=data, cache=cache,
+            prev_x=x, prev_u=u, have_prev=jnp.ones((), bool),
+            count_pairs=state.count_pairs + 1, count_res=count_res, key=key)

@@ -1,0 +1,84 @@
+"""L8 — on-device rollout loops.
+
+The reference's rollout (`sample_generator_trajectory`, sampling.py:49-75)
+is a Python for-loop: controller -> visualizer -> Euler step, with GUROBI
+and gpytorch round-trips inside.  Here the entire
+sense -> learn -> cone -> SOCP -> step cycle is one `jax.lax.scan` body,
+jit-compiled once, so a 2000-step episode is a single device program and
+thousands of episodes vmap/shard over a mesh (SURVEY.md 5.7/5.8).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..control.bayes_controller import (BayesCLFControllerConfig,
+                                        ControlInfo, bayes_clf_control)
+from ..models.dynamics import LearnedDynState, LearnedShiftInvariantDynamics
+
+
+class RolloutOutputs(NamedTuple):
+    X: jax.Array           # (T, n) states before each step
+    U: jax.Array           # (T, m) applied controls
+    Xdot: jax.Array        # (T, n)
+    info: ControlInfo      # stacked per-step controller diagnostics
+
+
+class UnicycleSim(NamedTuple):
+    """Static description of a unicycle tracking experiment
+    (track_trajectory_ackerman_clf_bayesian,
+    unicycle_move_to_pose.py:1689-1734)."""
+    true_dynamics: NamedTuple
+    learned_dynamics: LearnedShiftInvariantDynamics
+    controller: BayesCLFControllerConfig
+    clf: NamedTuple
+    cbfs: tuple
+    planner: NamedTuple
+    dt: float
+    numSteps: int
+
+    def init_state(self, x0, key):
+        dyn_state = self.learned_dynamics.init_state(
+            key, dtype=jnp.asarray(x0).dtype)
+        return jnp.asarray(x0), dyn_state
+
+    def step(self, carry, t):
+        """One control step: plan -> cones -> SOCP -> record/learn -> Euler."""
+        x, dyn_state = carry
+        fu_gp_fn = lambda u: self.learned_dynamics.fu_func_gp(dyn_state, u)
+        u, info = bayes_clf_control(self.controller, self.clf, self.cbfs,
+                                    self.planner, fu_gp_fn, x, t)
+        # online learning: record (x, u) and refit on schedule
+        # (reference calls dynamics.train(x, uopt) inside control(),
+        #  unicycle_move_to_pose.py:993-994)
+        dyn_state = self.learned_dynamics.observe(dyn_state, x, u)
+        x_next, xdot = self.true_dynamics.step(x, u, self.dt)
+        return (x_next, dyn_state), (x, u, xdot, info)
+
+
+def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
+    carry = sim.init_state(x0, key)
+    carry, (X, U, Xdot, info) = jax.lax.scan(
+        sim.step, carry, jnp.arange(sim.numSteps))
+    return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info)
+
+
+# UnicycleSim mixes array leaves with static config ints, so it is closed
+# over rather than passed as a traced argument; the jitted episode runner is
+# cached per sim object (same sim -> same executable).
+_SIM_CACHE: dict = {}
+
+
+def simulate_unicycle(sim: UnicycleSim, x0, key=None) -> RolloutOutputs:
+    """Run the full episode as one jitted lax.scan."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    entry = _SIM_CACHE.get(id(sim))
+    if entry is None or entry[0] is not sim:
+        fn = jax.jit(lambda x0_, key_: _simulate_unicycle(sim, x0_, key_))
+        _SIM_CACHE[id(sim)] = (sim, fn)
+    else:
+        fn = entry[1]
+    return _SIM_CACHE[id(sim)][1](jnp.asarray(x0), key)

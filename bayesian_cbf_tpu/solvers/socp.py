@@ -161,7 +161,10 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
 
     `dims` is static; the solver unrolls `iters` Mehrotra iterations and is
     safe under jit/vmap (no data-dependent control flow)."""
-    dtype = c.dtype
+    dtype = jnp.result_type(c.dtype, G.dtype, h.dtype)
+    c = c.astype(dtype)
+    G = G.astype(dtype)
+    h = h.astype(dtype)
     nx = c.shape[-1]
     nu = float(len(dims))
     e = jnp.concatenate([_unit_e(d, dtype) for d in dims])

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: aggregate control steps/sec of the full unicycle
+Bayes-CBF loop (online MVGP posterior + CBC SOCP per step), batched over
+Monte-Carlo rollouts on one chip.
+
+Reference baseline: the PyTorch+GUROBI loop runs ~10-100 control steps/sec
+on CPU (BASELINE.md, per-step prints controllers.py:586,659).  We take the
+generous end, 100 steps/sec, as the vs_baseline denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    # fast path dtype: f32 on accelerators, f64 on CPU fallback
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        make_ackermann_tracking_sim, STATE_START)
+    from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle
+
+    # flagship-shaped episode, sized to finish the bench in a few minutes:
+    # learning on (two refits inside the horizon), 2 obstacle CBC cones +
+    # CLC cone + objective cone per step.
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    num_steps = int(os.environ.get("BENCH_STEPS", "512"))
+    max_train = int(os.environ.get("BENCH_MAX_TRAIN", "64"))
+    sim = make_ackermann_tracking_sim(
+        dt=0.001, numSteps=num_steps, true_L=1.0, mean_L=12.0,
+        kernel_diag_A=(1.0, 1.0, 1.0), max_risk=0.01,
+        enable_learning=True, train_every_n_steps=200,
+        max_train=max_train, training_iter=50, socp_iters=20)
+
+    dtype = jnp.float64 if platform == "cpu" else jnp.float32
+    x0 = jnp.asarray(STATE_START, dtype)
+    x0s = x0[None, :] + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), (batch, 3), dtype)
+    keys = jax.random.split(jax.random.PRNGKey(1), batch)
+
+    run = jax.jit(jax.vmap(lambda x0_, k: _simulate_unicycle(sim, x0_, k)))
+    # warmup/compile
+    out = run(x0s, keys)
+    jax.block_until_ready(out.X)
+    ok = bool(jnp.all(jnp.isfinite(out.X)))
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run(x0s, keys)
+        jax.block_until_ready(out.X)
+    dt_run = (time.perf_counter() - t0) / reps
+
+    steps_per_sec = batch * num_steps / dt_run
+    baseline = 100.0  # reference steps/sec (generous), BASELINE.md
+    result = {
+        "metric": "unicycle Bayes-CBF control steps/sec "
+                  "(online MVGP + CBC SOCP, batch=%d)" % batch,
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / baseline, 2),
+        "finite": ok,
+        "platform": platform,
+        "episode_steps": num_steps,
+        "wall_s_per_batch": round(dt_run, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

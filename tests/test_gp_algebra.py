@@ -1,0 +1,152 @@
+"""GP-algebra tests against analytic oracles, mirroring the reference's
+tests/test_gp_algebra.py strategy: a hand-coded RBF GP with closed-form
+gradient mean / Hessian kernel (SimpleGP shape), Monte-Carlo checks of the
+product expressions, and the pendulum Lie-derivative oracles for CBC2.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_cbf_tpu.gp.algebra import (DeterministicGP, GradientGP, LeafGP)
+from bayesian_cbf_tpu.safety.cbc import cbc2_gp, cbc2_quadratic_terms
+from bayesian_cbf_tpu.models.dynamics import PendulumDynamics
+from bayesian_cbf_tpu.control.pendulum_safety import RadialCBFRelDegree2
+
+
+def _rbf_scalar_gp(ell=0.8, s=1.3, Q=None, dim=2):
+    """Scalar GP with mean m(x) = 1/2 x^T Q x and RBF kernel."""
+    if Q is None:
+        Q = jnp.eye(dim) * 0.7
+    mean = lambda x: 0.5 * x @ Q @ x
+    knl = lambda x, xp: s * jnp.exp(-0.5 * jnp.sum((x - xp) ** 2) / ell ** 2)
+    return LeafGP(mean=mean, knl=knl, dim=1, name="simple"), Q, ell, s
+
+
+def test_gradient_gp_mean_and_hessian():
+    """GradientGP mean = Q x; kernel = analytic RBF mixed Hessian
+    s/l^2 e^{-r/2} (I - dd^T/l^2)."""
+    gp, Q, ell, s = _rbf_scalar_gp()
+    ggp = GradientGP(gp, x_dim=2)
+    x = jnp.array([0.3, -0.5])
+    xp = jnp.array([0.9, 0.1])
+    np.testing.assert_allclose(np.asarray(ggp.mean(x)),
+                               np.asarray(Q @ x), atol=1e-10)
+    d = (x - xp) / ell
+    r = float(jnp.sum(d * d))
+    expected = (s / ell ** 2) * math.exp(-0.5 * r) * (
+        np.eye(2) - np.outer(np.asarray(d), np.asarray(d)))
+    np.testing.assert_allclose(np.asarray(ggp.knl(x, xp)), expected,
+                               atol=1e-10)
+    # at x == xp the Hessian is s/l^2 I (and must pass the PSD clamp)
+    np.testing.assert_allclose(np.asarray(ggp.knl(x, x)),
+                               (s / ell ** 2) * np.eye(2), atol=1e-10)
+
+
+def test_det_dot_gp():
+    """h^T f for deterministic h: exact mean/kernel."""
+    n = 3
+    A = jnp.array([[1.0, 0.2, 0.0], [0.0, 0.8, 0.1], [0.3, 0.0, 1.2]])
+    fmean = lambda x: A @ x
+    fknl = lambda x, xp: (x @ xp + 1.0) * jnp.eye(n)
+    f = LeafGP(fmean, fknl, dim=n)
+    h = DeterministicGP(lambda x: jnp.sin(x), dim=n)
+    expr = h.t() @ f
+    x = jnp.array([0.1, -0.7, 0.4])
+    np.testing.assert_allclose(float(expr.mean(x)),
+                               float(jnp.sin(x) @ (A @ x)), atol=1e-12)
+    expected_k = float(jnp.sin(x) @ ((x @ x + 1.0) * jnp.eye(n)) @ jnp.sin(x))
+    np.testing.assert_allclose(float(jnp.reshape(expr.knl(x, x), ())),
+                               expected_k, atol=1e-12)
+
+
+def test_add_with_registered_covar():
+    """Var(X + Y) = Kx + Ky + 2 Cxy when cov is registered."""
+    n = 2
+    Kx = jnp.array([[1.0, 0.1], [0.1, 2.0]])
+    Ky = jnp.array([[0.5, 0.0], [0.0, 0.5]])
+    Cxy = jnp.array([[0.2, 0.0], [0.0, -0.1]])
+    X = LeafGP(lambda x: x, lambda x, xp: Kx, dim=n, name="X")
+    Y = LeafGP(lambda x: 2 * x, lambda x, xp: Ky, dim=n, name="Y")
+    X.register_covar(Y, lambda x, xp: Cxy)
+    S = X + Y
+    x = jnp.array([1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(S.knl(x, x)),
+                               np.asarray(Kx + Ky + Cxy + Cxy.T), atol=1e-12)
+
+
+def test_random_dot_monte_carlo():
+    """X^T Y moments vs 200k Monte-Carlo samples (x-independent covs)."""
+    n = 2
+    mx = jnp.array([1.0, -0.5])
+    my = jnp.array([0.3, 0.8])
+    Kx = jnp.array([[0.4, 0.1], [0.1, 0.3]])
+    Ky = jnp.array([[0.2, 0.0], [0.0, 0.5]])
+    X = LeafGP(lambda x: mx, lambda x, xp: Kx, dim=n, name="X")
+    Y = LeafGP(lambda x: my, lambda x, xp: Ky, dim=n, name="Y")
+    X.register_covar(Y, lambda x, xp: jnp.zeros((n, n)))
+    expr = X.t() @ Y
+    x = jnp.zeros(2)
+    mean = float(expr.mean(x))
+    var = float(jnp.reshape(expr.knl(x, x), ()))
+
+    rng = np.random.default_rng(0)
+    Lx = np.linalg.cholesky(np.asarray(Kx))
+    Ly = np.linalg.cholesky(np.asarray(Ky))
+    Xs = np.asarray(mx) + rng.normal(size=(200000, n)) @ Lx.T
+    Ys = np.asarray(my) + rng.normal(size=(200000, n)) @ Ly.T
+    prods = np.sum(Xs * Ys, axis=1)
+    np.testing.assert_allclose(mean, prods.mean(), atol=3e-3)
+    np.testing.assert_allclose(var, prods.var(), rtol=0.05)
+
+
+def test_cbc2_matches_analytic_lie_derivatives():
+    """CBC2 built from a *deterministic* pendulum GP equals the analytic
+    A(x) u <= b(x) form: mean(CBC2) = -A u + b (tests/test_gp_algebra.py
+    test_cbf2_gp shape, using the RadialCBFRelDegree2 oracle)."""
+    pend = PendulumDynamics()
+    cbf = RadialCBFRelDegree2(model=pend)
+    x = jnp.array([3 * math.pi / 4, -0.2])
+    u = jnp.array([0.3])
+
+    # near-deterministic "learned" model: true mean, tiny covariance
+    eps = 1e-8
+    f_gp_fn = lambda: LeafGP(pend.f_func,
+                             lambda x, xp: eps * jnp.eye(2), dim=2,
+                             assume_independence=True, name="f")
+    fu_gp_fn = lambda u: LeafGP(
+        lambda x_: pend.f_func(x_) + pend.g_func(x_) @ u,
+        lambda x_, xp_: eps * jnp.eye(2), dim=2,
+        assume_independence=True, name="fu")
+
+    cbc = cbc2_gp(cbf.cbf, cbf.grad_cbf, f_gp_fn, fu_gp_fn, 2,
+                  cbf.k_alpha, u)
+    got = float(jnp.reshape(cbc.mean(x), ()))
+    expected = float(-cbf.A(x) @ u + cbf.b(x))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    # and the quadratic-term extraction reproduces the same affine mean
+    (bfe, e), (V, bfv, v), mean_u, var_u = cbc2_quadratic_terms(
+        lambda uu: cbc2_gp(cbf.cbf, cbf.grad_cbf, f_gp_fn, fu_gp_fn, 2,
+                           cbf.k_alpha, uu), x, u)
+    np.testing.assert_allclose(float(bfe @ u + e), expected,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bfe), np.asarray(-cbf.A(x)),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_gradient_gp_covar():
+    """cov(grad f, g) = d/dx cov(f, g) with a registered linear cross-cov."""
+    f = LeafGP(lambda x: jnp.sum(x ** 2),
+               lambda x, xp: jnp.exp(-0.5 * jnp.sum((x - xp) ** 2)),
+               dim=1, name="f")
+    g = LeafGP(lambda x: x, lambda x, xp: jnp.eye(2), dim=2, name="g")
+    # cov(f(x), g(xp)) = x^T diag(xp) say; gradient wrt x = diag(xp)
+    f.register_covar(g, lambda x, xp: (x * xp)[None, :])
+    gf = GradientGP(f, x_dim=2)
+    x = jnp.array([0.5, -1.0])
+    xp = jnp.array([2.0, 3.0])
+    got = np.asarray(gf.covar(g, x, xp))
+    np.testing.assert_allclose(got, np.diag(np.asarray(xp)), atol=1e-10)

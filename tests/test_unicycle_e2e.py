@@ -1,0 +1,80 @@
+"""End-to-end unicycle Bayes-CBF rollout tests (short horizons for CI).
+
+The full 2000-step qualitative parity runs (collides vs safe vs stuck,
+README experiments) live in experiments/ and bench.py; here we check the
+jitted scan pipeline is healthy: finite outputs, near-feasible SOCP at
+every step, online refits occurring, vmap batching.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_cbf_tpu.experiments.unicycle import (
+    make_ackermann_tracking_sim, min_obstacle_clearance, STATE_START)
+from bayesian_cbf_tpu.sim.rollout import simulate_unicycle
+
+
+def _small_sim(**kw):
+    kw.setdefault("numSteps", 60)
+    kw.setdefault("dt", 0.01)
+    kw.setdefault("max_train", 16)
+    kw.setdefault("training_iter", 10)
+    kw.setdefault("train_every_n_steps", 20)
+    kw.setdefault("socp_iters", 20)
+    return make_ackermann_tracking_sim(**kw)
+
+
+def test_rollout_finite_and_feasible():
+    sim = _small_sim(enable_learning=False, true_L=12.0, mean_L=1.0,
+                     kernel_diag_A=(1e-2, 1e-2, 1e-2))
+    out = simulate_unicycle(sim, jnp.asarray(STATE_START))
+    assert np.all(np.isfinite(np.asarray(out.X)))
+    assert np.all(np.isfinite(np.asarray(out.U)))
+    # every per-step SOCP stayed near-feasible
+    assert float(out.info.pres.max()) < 1e-5
+    assert float(out.info.dres.max()) < 1e-4
+
+
+def test_rollout_with_learning_runs():
+    sim = _small_sim(enable_learning=True, true_L=1.0, mean_L=12.0)
+    out = simulate_unicycle(sim, jnp.asarray(STATE_START))
+    assert np.all(np.isfinite(np.asarray(out.X)))
+    assert np.all(np.isfinite(np.asarray(out.U)))
+    # the vehicle moved
+    assert float(jnp.linalg.norm(out.X[-1] - out.X[0])) > 1e-3
+
+
+def test_risk_controls_conservatism():
+    """Higher required safety (smaller max_risk) => larger rho factor and
+    no smaller obstacle clearance (the Bayes-CBF mechanism)."""
+    out_lo = simulate_unicycle(
+        _small_sim(max_risk=0.4999, enable_learning=False,
+                   true_L=12.0, mean_L=1.0,
+                   kernel_diag_A=(1e-2, 1e-2, 1e-2)),
+        jnp.asarray(STATE_START))
+    sim_hi = _small_sim(max_risk=0.01, enable_learning=False,
+                        true_L=12.0, mean_L=1.0,
+                        kernel_diag_A=(1e-2, 1e-2, 1e-2))
+    out_hi = simulate_unicycle(sim_hi, jnp.asarray(STATE_START))
+    assert float(out_hi.info.rho[0]) > float(out_lo.info.rho[0]) + 1.0
+    cl_lo = min_obstacle_clearance(sim_hi, out_lo)
+    cl_hi = min_obstacle_clearance(sim_hi, out_hi)
+    assert float(cl_hi.min()) >= float(cl_lo.min()) - 0.05
+
+
+def test_vmap_batch_of_rollouts():
+    """Monte-Carlo batching: vmap over initial states (the BASELINE.json
+    config-5 capability, 1024 parallel rollouts, here 3 for CI)."""
+    sim = _small_sim(numSteps=30, enable_learning=False, true_L=12.0,
+                     mean_L=1.0, kernel_diag_A=(1e-2, 1e-2, 1e-2))
+    x0s = jnp.asarray(STATE_START)[None, :] + jnp.array(
+        [[0.0, 0.0, 0.0], [0.05, 0.0, 0.0], [0.0, 0.05, 0.0]])
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle
+    outs = jax.jit(jax.vmap(lambda x0, k: _simulate_unicycle(sim, x0, k)))(
+        x0s, keys)
+    assert outs.X.shape == (3, 30, 3)
+    assert np.all(np.isfinite(np.asarray(outs.X)))
+    # batched trajectories differ with initial state
+    assert float(jnp.abs(outs.X[0] - outs.X[1]).max()) > 1e-6
