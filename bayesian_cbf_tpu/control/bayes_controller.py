@@ -4,18 +4,31 @@ Bayes-CBF safety cones, solved as one small SOCP per step.
 Parity target: ControllerCLFBayesian (unicycle_move_to_pose.py:801-998) and
 the deterministic baseline ControllerCLF (:699-791).
 
-TPU-first restructuring: the reference assembles numpy cones and calls
-GUROBI per step (process boundary, SURVEY.md 3.1).  Here `bayes_clf_control`
-is a pure jittable function state -> control:
+TPU-first restructuring (two layers):
+
+1. The reference assembles each cone by autodiff-ing the GP expression
+   tree once per term (mean affine pass + variance quadratic pass, each
+   re-entering the GP posterior — SURVEY.md 3.1).  For relative-degree-1
+   constraints the cones have a closed form in the *posterior moments*
+       vec F(x) ~ N(vec FT^T, Bk kron A):
+   for a linear functional w (grad V or grad h),
+       mean  w^T F u_hom      = (w^T FT) u_hom            (affine in u)
+       var   w^T F u_hom      = (u_hom^T Bk u_hom)(w^T A w)  (quadratic)
+   so ONE posterior evaluation per step yields every cone:
+       Asq_c = (w_c^T A w_c) * Bk   ==>  chol(Asq_c) = sqrt(s_c) chol(Bk).
+   `bayes_clf_control` uses this fast path;
+   `bayes_clf_control_gp` keeps the general GP-algebra path (used for
+   cross-validation in tests and by rel-deg-2 constraints).
+
+2. The per-step SOCP is solved by the jitted NT-scaled IPM with an
+   in-graph infeasibility fallback to u_ref (the reference raises,
+   optimizers.py:74-86 — impossible inside lax.scan, SURVEY.md 5.3).
 
   variables x = [u (m), relax, t]
   minimize  t
-  s.t.  || W^(1/2) ([u; relax] - [u_ref; 0]) ||  <=  t          (objective cone)
-        rho ||A_clc u + b_clc|| <= c_clc^T u + d_clc + relax    (CLC chance cone)
-        rho ||A_k u + b_k||     <= c_k^T u + d_k                (CBC chance cones)
-
-(The sqrt-epigraph has the same argmin as the reference's weighted
-sum-of-squares objective since the objective is a pure norm.)
+  s.t.  || W^(1/2) ([u; relax] - [u_ref; 0]) ||  <=  t          (objective)
+        rho ||A_clc u + b_clc|| <= c_clc^T u + d_clc + relax    (CLC cone)
+        rho ||A_k u + b_k||     <= c_k^T u + d_k                (CBC cones)
 """
 from __future__ import annotations
 
@@ -29,12 +42,13 @@ from ..gp.algebra import DeterministicGP
 from ..safety.cbc import (cbc1_safety_factor, cbc2_quadratic_terms,
                           cbc_to_socp_cone)
 from ..solvers.socp import solve_socp
+from ..utils.linalg import psd_cholesky
 from .clf_cbf import CLFCartesian, ObstacleCBF
 
 
 class BayesCLFControllerConfig(NamedTuple):
-    """Static configuration (shapes/weights), matching the reference's
-    ControllerCLFBayesian ctor defaults (unicycle_move_to_pose.py:805-820)."""
+    """Static configuration, matching ControllerCLFBayesian ctor defaults
+    (unicycle_move_to_pose.py:805-820)."""
     u_dim: int = 2
     clf_gamma: float = 10.0
     cost_weights: Tuple[float, ...] = (0.33, 0.33, 0.33)
@@ -42,6 +56,7 @@ class BayesCLFControllerConfig(NamedTuple):
     max_risk: float = 1e-2
     cbf_gammas: Tuple[float, ...] = ()
     socp_iters: int = 25
+    feas_tol: float = 1e-4
 
     @property
     def rho(self) -> float:
@@ -55,11 +70,99 @@ class ControlInfo(NamedTuple):
     pcost: jax.Array
     pres: jax.Array
     dres: jax.Array
+    feasible: jax.Array
     clc_mean: jax.Array
     clc_var: jax.Array
     cbc_means: jax.Array
     cbc_vars: jax.Array
 
+
+def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
+                      moments_fn, x, t):
+    """One control step via closed-form cones.
+
+    moments_fn: x -> (FT (n, 1+m), Bk (1+m, 1+m), A (n, n)) posterior
+    moments of the learned dynamics.  Returns (u_opt, ControlInfo)."""
+    m = cfg.u_dim
+    dtype = x.dtype
+    state_goal = planner.plan(t)
+    rho = jnp.asarray(cfg.rho, dtype)
+    extravars = 2
+    nvar = m + extravars
+
+    FT, Bk, A = moments_fn(x)
+    _, Lb = psd_cholesky(Bk, init_jitter=1e-10)
+    LbT = Lb.T                                    # (1+m, 1+m)
+
+    # linear functionals and additive constants per constraint
+    gclf = clf.grad_clf(x, state_goal)
+    consts = [cfg.clf_gamma * clf.clf(x, state_goal)
+              + clf.grad_clf_wrt_goal(x, state_goal) @ planner.dot_plan(t)]
+    ws = [gclf]
+    signs = [-1.0]                               # CLC enters negated
+    for cbf, gamma in zip(cbfs, cfg.cbf_gammas):
+        ws.append(cbf.grad_cbf(x))
+        consts.append(gamma * cbf.cbf(x))
+        signs.append(1.0)
+    W = jnp.stack(ws)                            # (C, n)
+    sgn = jnp.asarray(signs, dtype)
+    const = jnp.stack([jnp.reshape(c, ()) for c in consts])
+
+    m_aff = W @ FT                               # (C, 1+m): [const, u-coefs]
+    s = jnp.einsum('ci,ij,cj->c', W, A, W)       # (C,) variance scale
+    sqrt_s = jnp.sqrt(jnp.maximum(s, 0.0))
+
+    ncon = W.shape[0]
+    # cone norm part: rho * sqrt(s_c) * || LbT[:,1:] u + LbT[:,0] ||
+    A_norm = jnp.zeros((ncon, m + 1, nvar), dtype)
+    A_norm = A_norm.at[:, :, :m].set(
+        rho * sqrt_s[:, None, None] * LbT[None, :, 1:])
+    b_norm = rho * sqrt_s[:, None] * LbT[None, :, 0]
+    # linear part: sgn*(m_aff u + const-part), CLC gets +relax
+    bfc = jnp.zeros((ncon, nvar), dtype)
+    bfc = bfc.at[:, :m].set(sgn[:, None] * m_aff[:, 1:])
+    bfc = bfc.at[0, m].set(1.0)                  # relax on the CLC row
+    d = sgn * (m_aff[:, 0] + const)
+
+    # objective epigraph cone
+    wcost = jnp.sqrt(jnp.asarray(cfg.cost_weights, dtype))
+    uref = jnp.asarray(cfg.ctrl_ref, dtype)
+    A_obj = jnp.zeros((m + 1, nvar), dtype)
+    A_obj = A_obj.at[:m, :m].set(jnp.diag(wcost[:m]))
+    A_obj = A_obj.at[m, m].set(wcost[m])
+    b_obj = jnp.concatenate([-wcost[:m] * uref, jnp.zeros((1,), dtype)])
+    c_obj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
+
+    # assemble G, h: objective cone + C constraint cones (all dim m+2)
+    G_rows = [jnp.concatenate([-c_obj[None, :], -A_obj], 0)]
+    h_rows = [jnp.concatenate([jnp.zeros((1,), dtype), b_obj])]
+    for ci in range(ncon):
+        G_rows.append(jnp.concatenate([-bfc[ci][None, :], -A_norm[ci]], 0))
+        h_rows.append(jnp.concatenate([jnp.reshape(d[ci], (1,)),
+                                       b_norm[ci]]))
+    G = jnp.concatenate(G_rows, 0)
+    h = jnp.concatenate(h_rows, 0)
+    dims = tuple([m + 2] * (1 + ncon))
+    cobj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
+
+    sol = solve_socp(cobj, G, h, dims, iters=cfg.socp_iters)
+    feasible = (sol.pres < cfg.feas_tol) & jnp.all(jnp.isfinite(sol.x))
+    u_opt = jnp.where(feasible, sol.x[:m], jnp.broadcast_to(uref, (m,)))
+
+    clc_mean = sgn[0] * (m_aff[0, 0] + const[0])   # at u = 0
+    clc_var = s[0] * Bk[0, 0]
+    info = ControlInfo(
+        rho=rho, relax=sol.x[m], pcost=sol.pcost, pres=sol.pres,
+        dres=sol.dres, feasible=feasible,
+        clc_mean=clc_mean, clc_var=clc_var,
+        cbc_means=(m_aff[1:, 0] + const[1:]),
+        cbc_vars=(s[1:] * Bk[0, 0]))
+    return u_opt, info
+
+
+# ---------------------------------------------------------------------------
+# general GP-algebra path (kept for cross-validation and rel-deg-2 reuse)
+# ---------------------------------------------------------------------------
 
 def _clc_gp(cfg, clf, planner, fu_gp_fn, x_dim, state_goal, t, u):
     """CLC GP: grad_V^T (Fu)_gp + grad_goal_V^T xdot_plan + gamma V
@@ -85,32 +188,29 @@ def _cbc_gp(cbf: ObstacleCBF, gamma, fu_gp_fn, x_dim, u):
     return ghgp.t() @ fu_gp_fn(u) + hgp
 
 
-def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
-                      fu_gp_fn, x, t):
-    """One control step.  fu_gp_fn: u -> GP of F(x)^T[1;u] (from the learned
-    dynamics).  Returns (u_opt, ControlInfo)."""
+def bayes_clf_control_gp(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
+                         fu_gp_fn, x, t):
+    """GP-expression-tree variant (the reference's computation route);
+    slower but fully general.  Used to validate the closed-form path."""
     m = cfg.u_dim
     x_dim = x.shape[-1]
     dtype = x.dtype
     state_goal = planner.plan(t)
     rho = jnp.asarray(cfg.rho, dtype)
-    u0 = jnp.full((m,), 0.5, dtype)   # terms are exact; eval point arbitrary
-    extravars = 2                      # [relax, t]
+    u0 = jnp.full((m,), 0.5, dtype)
+    extravars = 2
     nvar = m + extravars
 
     cones = []
-
-    # objective epigraph cone
-    w = jnp.sqrt(jnp.asarray(cfg.cost_weights, dtype))
+    wcost = jnp.sqrt(jnp.asarray(cfg.cost_weights, dtype))
     uref = jnp.asarray(cfg.ctrl_ref, dtype)
     A_obj = jnp.zeros((m + 1, nvar), dtype)
-    A_obj = A_obj.at[:m, :m].set(jnp.diag(w[:m]))
-    A_obj = A_obj.at[m, m].set(w[m])
-    b_obj = jnp.concatenate([-w[:m] * uref, jnp.zeros((1,), dtype)])
+    A_obj = A_obj.at[:m, :m].set(jnp.diag(wcost[:m]))
+    A_obj = A_obj.at[m, m].set(wcost[m])
+    b_obj = jnp.concatenate([-wcost[:m] * uref, jnp.zeros((1,), dtype)])
     c_obj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
     cones.append((A_obj, b_obj, c_obj, jnp.zeros((), dtype)))
 
-    # CLC cone (mean of the *negated* CLC must dominate rho * std - relax)
     clc_builder = lambda u: _clc_gp(cfg, clf, planner, fu_gp_fn, x_dim,
                                     state_goal, t, u) * (-1.0)
     (bfe, e), (V, bfv, v), clc_mean, clc_var = cbc2_quadratic_terms(
@@ -119,7 +219,6 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
                                      extravars=extravars, relax_col=0)
     cones.append((rho * A, rho * b, cvec, d))
 
-    # CBC cones
     cbc_means, cbc_vars = [], []
     for cbf, gamma in zip(cbfs, cfg.cbf_gammas):
         cbc_builder = lambda u, cbf=cbf, gamma=gamma: _cbc_gp(
@@ -132,7 +231,6 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
         cbc_means.append(mu_k)
         cbc_vars.append(var_k)
 
-    # assemble G, h
     Gs, hs, dims = [], [], []
     for (A, b, cvec, d) in cones:
         Gs.append(jnp.concatenate([-cvec[None, :], -A], 0))
@@ -143,10 +241,12 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
     cobj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
 
     sol = solve_socp(cobj, G, h, tuple(dims), iters=cfg.socp_iters)
-    u_opt = sol.x[:m]
+    feasible = (sol.pres < cfg.feas_tol) & jnp.all(jnp.isfinite(sol.x))
+    u_opt = jnp.where(feasible, sol.x[:m], jnp.broadcast_to(uref, (m,)))
     info = ControlInfo(
         rho=rho, relax=sol.x[m], pcost=sol.pcost, pres=sol.pres,
-        dres=sol.dres, clc_mean=clc_mean, clc_var=clc_var,
+        dres=sol.dres, feasible=feasible,
+        clc_mean=clc_mean, clc_var=clc_var,
         cbc_means=(jnp.stack(cbc_means) if cbc_means
                    else jnp.zeros((0,), dtype)),
         cbc_vars=(jnp.stack(cbc_vars) if cbc_vars

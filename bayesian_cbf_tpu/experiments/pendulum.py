@@ -1,0 +1,228 @@
+"""L9 — pendulum experiments.
+
+Parity targets (bayes_cbf/pendulum.py):
+  * run_pendulum_control_online_learning (:1041-1048): 250 steps, tau=2e-3,
+    theta0=7pi/12, epsilon-greedy LQR reference + learned rel-deg-2 CBC
+    SOCP, online MVGP refits every 10 steps (ControlPendulumCBFLearned).
+  * learn_dynamics / learn_dynamics_matrix_vector (:1091-1303): fit MVGP vs
+    CoGP on trajectory data, variance-weighted errors over a test grid.
+  * speed_test_matrix_vector (:1305-1395): the paper's headline timing of
+    custom_predict_fullmat over a 441-point grid for
+    matrix / vector / matrixdiag / vectordiag at k in {256,320,384,512}.
+"""
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..control.learned_socp_controller import (LearnedSOCPControllerConfig,
+                                               learned_socp_control)
+from ..control.pendulum_safety import RadialCBFRelDegree2
+from ..control.secondary import EpsilonGreedyController, LQRController
+from ..models.cogp import make_cogp, make_cogp_diag
+from ..models.dynamics import (LearnedShiftInvariantDynamics, PendulumDynamics,
+                               ZeroDynamics)
+from ..models.mvgp import make_mvgp, make_mvgp_diag
+
+
+# ---------------------------------------------------------------------------
+# online-learning control experiment
+# ---------------------------------------------------------------------------
+
+class PendulumOnlineSim(NamedTuple):
+    """ControlPendulumCBFLearned wiring (pendulum.py:909-962):
+    mean dynamics = zero, learned MVGP residual of full dynamics,
+    LQR reference control with epsilon-greedy exploration, CBC2 SOCP."""
+    true_dynamics: PendulumDynamics
+    learned: LearnedShiftInvariantDynamics
+    controller: LearnedSOCPControllerConfig
+    cbf: RadialCBFRelDegree2
+    lqr: LQRController
+    egreedy: EpsilonGreedyController
+    dt: float
+    numSteps: int
+
+    def step(self, carry, t):
+        x, dyn_state, key = carry
+        key, ke = jax.random.split(key)
+        # epsilon-greedy LQR reference control on the learned mean dynamics
+        u_ref = self.lqr.control_with_model(
+            lambda xx: self.learned.f_func(dyn_state, xx),
+            lambda xx: self.learned.g_func(dyn_state, xx), x, t)
+        u_ref = self.egreedy.perturb(u_ref, t, ke)
+        u, info = self._control(dyn_state, u_ref, x)
+        dyn_state = self.learned.observe(dyn_state, x, u)
+        x_next, xdot = self.true_dynamics.step(x, u, self.dt)
+        return (x_next, dyn_state, key), (x, u, xdot, info)
+
+    def _control(self, dyn_state, u_ref, x):
+        """Build the (f, fu) pair per u so cross-covariances stay linked."""
+        cache = {}
+
+        def fu_gp_fn(u):
+            pair = self.learned.f_gp_and_fu_gp(dyn_state, u)
+            cache["pair"] = pair
+            return pair[1]
+
+        def f_gp_fn():
+            return cache["pair"][0]
+
+        return learned_socp_control(
+            self.controller, self.cbf.cbf, self.cbf.grad_cbf,
+            f_gp_fn, fu_gp_fn, u_ref, x)
+
+
+def make_pendulum_online_sim(
+        numSteps=250, dt=2e-3, max_train=40, training_iter=25,
+        train_every_n_steps=10, max_unsafe_prob=0.01,
+        k_alpha=(1.0, 3.0), ctrl_range=(-15.0, 15.0),
+        egreedy_scheme=(1.0, 0.01), socp_iters=25):
+    """run_pendulum_control_online_learning configuration
+    (pendulum.py:1041-1048; max_train reduced from 200 for CI speed —
+    pass max_train=200 for the full config)."""
+    pend = PendulumDynamics()
+    learned = LearnedShiftInvariantDynamics(
+        gp=make_mvgp(2, 1, gamma_prior=(math.pi / 100, math.pi / 100)),
+        mean_dynamics=ZeroDynamics(state_size=2, ctrl_size=1),
+        max_train=max_train, training_iter=training_iter,
+        shift_invariant=False, train_every_n_steps=train_every_n_steps,
+        enable_learning=True, dt=dt)
+    controller = LearnedSOCPControllerConfig(
+        u_dim=1, x_dim=2, ctrl_reg=1.0, clf_relax_weight=100.0,
+        max_unsafe_prob=max_unsafe_prob, k_alpha=k_alpha,
+        socp_iters=socp_iters)
+    lqr = LQRController(Q=jnp.eye(2), R=jnp.eye(1),
+                        x_goal=jnp.zeros(2), horizon=20, dt=dt,
+                        ctrl_range=ctrl_range)
+    egreedy = EpsilonGreedyController(numSteps=numSteps,
+                                      egreedy_scheme=egreedy_scheme,
+                                      ctrl_range=ctrl_range)
+    cbf = RadialCBFRelDegree2(model=pend, k_alpha=k_alpha,
+                              max_unsafe_prob=max_unsafe_prob)
+    return PendulumOnlineSim(true_dynamics=pend, learned=learned,
+                             controller=controller, cbf=cbf, lqr=lqr,
+                             egreedy=egreedy, dt=dt, numSteps=numSteps)
+
+
+def run_pendulum_online_learning(sim: PendulumOnlineSim,
+                                 theta0=7 * math.pi / 12, omega0=0.0,
+                                 seed=0):
+    x0 = jnp.asarray([theta0, omega0])
+    key = jax.random.PRNGKey(seed)
+    kd, ks = jax.random.split(key)
+    dyn_state = sim.learned.init_state(kd, dtype=x0.dtype)
+
+    def run(x0, dyn_state, ks):
+        carry, out = jax.lax.scan(sim.step, (x0, dyn_state, ks),
+                                  jnp.arange(sim.numSteps))
+        return out
+
+    X, U, Xdot, info = jax.jit(run)(x0, dyn_state, ks)
+    return X, U, Xdot, info
+
+
+# ---------------------------------------------------------------------------
+# learn_dynamics + speed test (the paper's benchmark harness)
+# ---------------------------------------------------------------------------
+
+def sample_pendulum_data(numSteps=2000, dt=1e-2, theta0=3 * math.pi / 4,
+                         omega0=-0.01, seed=0):
+    """ControlRandom rollout: u = m g sin(theta) * uniform(0.6, 1.4)
+    (pendulum.py:60-78), collected as (X, U, Xdot) with exact xdot."""
+    pend = PendulumDynamics()
+    key = jax.random.PRNGKey(seed)
+
+    def step(carry, _):
+        x, key = carry
+        key, ku = jax.random.split(key)
+        u_triv = pend.mass * pend.gravity * jnp.sin(x[0])
+        u = u_triv * (jax.random.uniform(ku, ()) * 0.8 + 0.6)
+        u = jnp.reshape(u, (1,))
+        xdot = pend.f_func(x) + pend.g_func(x) @ u
+        x_next, _ = pend.step(x, u, dt)
+        return (x_next, key), (x, u, xdot)
+
+    (_, _), (X, U, Xdot) = jax.lax.scan(
+        step, (jnp.asarray([theta0, omega0]), key), None, length=numSteps)
+    return X, U, Xdot
+
+
+def variance_weighted_error(mean_flat, var_flat, true_flat):
+    """sqrt(mean of (F_hat - F)^T Var^{-1} (F_hat - F)) over a test batch
+    (measure_batch_error, pendulum.py:1091-1103)."""
+    N, D = true_flat.shape
+    diff = mean_flat.reshape(N, D) - true_flat
+    sols = jnp.linalg.solve(var_flat, diff[..., None])[..., 0]
+    errs = jnp.einsum('nd,nd->n', diff, sols)
+    return jnp.sqrt(jnp.sum(errs) / N)
+
+
+_REGRESSORS = {
+    "matrix": make_mvgp,
+    "matrixdiag": make_mvgp_diag,
+    "vector": make_cogp,
+    "vectordiag": make_cogp_diag,
+}
+
+
+def speed_test_matrix_vector(max_train_list=(256, 320, 384, 512),
+                             grid=21, ntimes=10, repeat=5,
+                             training_iter=50, seed=0,
+                             regressors=("matrix", "vector",
+                                         "matrixdiag", "vectordiag")):
+    """The paper's central performance claim: MVGP O(k^3) vs CoGP O(k^3 n^3)
+    posterior inference timing over a (grid x grid) test lattice
+    (pendulum.py:1305-1395).  Returns {regressor: {k: {...}}}."""
+    X, U, Xdot = sample_pendulum_data(numSteps=2048, seed=seed)
+    Xn = np.asarray(X)
+    th = np.linspace(Xn[:, 0].min(), Xn[:, 0].max(), grid)
+    om = np.linspace(Xn[:, 1].min(), Xn[:, 1].max(), grid)
+    Xtest = jnp.asarray(np.stack(np.meshgrid(th, om), -1).reshape(-1, 2))
+
+    pend = PendulumDynamics()
+    Ftrue = jax.vmap(lambda x: pend.F_func(x).T.reshape(-1))(Xtest)
+
+    rng = np.random.default_rng(seed)
+    results = {}
+    for name in regressors:
+        maker = _REGRESSORS[name]
+        gp = maker(2, 1)
+        results[name] = {}
+        for k in max_train_list:
+            idx = rng.permutation(X.shape[0])[:k]
+            params = gp.init_params(jax.random.PRNGKey(seed))
+            data = gp.make_data(X[idx], U[idx], Xdot[idx])
+            params = jax.jit(lambda p, d: gp.fit(
+                p, d, training_iter=training_iter))(params, data)
+            predict = jax.jit(lambda p, d: gp.predict_fullmat(
+                p, d, gp.refresh_cache(p, d), Xtest))
+            mean, var = predict(params, data)   # warmup/compile
+            jax.block_until_ready(var)
+            times = []
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                for _ in range(ntimes):
+                    mean, var = predict(params, data)
+                jax.block_until_ready(var)
+                times.append((time.perf_counter() - t0) / ntimes)
+            err = float(variance_weighted_error(
+                mean, _block_diag_vars(var, Xtest.shape[0]), Ftrue))
+            results[name][k] = {"elapsed": min(times), "error": err}
+    return results
+
+
+def _block_diag_vars(var_full, b):
+    """Extract per-test-point (D, D) diagonal blocks from the full
+    (bD, bD) covariance."""
+    D = var_full.shape[0] // b
+    blocks = var_full.reshape(b, D, b, D)
+    idx = jnp.arange(b)
+    out = blocks[idx, :, idx, :]
+    # regularize for the weighted-error solve
+    return out + 1e-9 * jnp.eye(D, dtype=var_full.dtype)[None]

@@ -270,6 +270,61 @@ class LearnedShiftInvariantDynamics(NamedTuple):
             dim=self.gp.x_dim, name="mean_dyn")
         return det + self._learned_fu_gp(state, u)
 
+    def moments(self, state: LearnedDynState, x):
+        """Single-state posterior moments (FT, Bk, A):
+
+            vec F(x) ~ N(vec FT^T, Bk kron A),   FT (n, 1+m)
+
+        One O(k^2 (1+m)) posterior evaluation from which a controller can
+        assemble *all* its chance-constraint cones in closed form — the
+        TPU-first replacement for re-walking the GP expression tree under
+        autodiff once per constraint term (the reference re-enters
+        custom_predict per mean/variance/grad evaluation, SURVEY.md 3.1).
+        """
+        md = self.mean_dynamics
+        if not self.enable_learning:
+            FT = md.F_func(x)
+            A = jnp.diag(jnp.asarray(getattr(md, "kernel_diag_A",
+                                             (1.0,) * self.gp.x_dim),
+                                     dtype=x.dtype))
+            Bk = jnp.eye(1 + self.gp.u_dim, dtype=x.dtype)
+            return FT, Bk, A
+        xs = self._shift_inv(x)
+        FT = (md.F_func(x)
+              + self.gp.fT_post(state.params, state.data, state.cache, xs))
+        Bk = self.gp.Bk_single(state.params, state.data, state.cache, xs, xs)
+        return FT, Bk, state.params.A
+
+    def f_gp_and_fu_gp(self, state: LearnedDynState, u):
+        """(f_gp, fu_gp) leaves with their cross-covariance registered —
+        needed by the relative-degree-2 CBC (cov(F u, f) registered at
+        control_affine_model.py:797 in the reference)."""
+        gp = self.gp
+        md = self.mean_dynamics
+        si = self._shift_inv
+        f_leaf = LeafGP(
+            mean=lambda x: gp.f_mean(state.params, state.data, state.cache,
+                                     si(x)),
+            knl=lambda x, xp: gp.f_knl(state.params, state.data, state.cache,
+                                       si(x), si(xp)),
+            dim=gp.x_dim, name="learned_f")
+        fu_leaf = LeafGP(
+            mean=lambda x: gp.fu_mean(state.params, state.data, state.cache,
+                                      u, si(x)),
+            knl=lambda x, xp: gp.fu_knl(state.params, state.data,
+                                        state.cache, u, si(x), si(xp)),
+            dim=gp.x_dim, name="learned_fu")
+        fu_leaf.register_covar(
+            f_leaf,
+            lambda x, xp: gp.covar_fu_f(state.params, state.data,
+                                        state.cache, u, si(x), si(xp)))
+        if not self.enable_learning:
+            return f_leaf, fu_leaf
+        f_det = DeterministicGP(md.f_func, dim=gp.x_dim, name="mean_f")
+        fu_det = DeterministicGP(lambda x: md.f_func(x) + md.g_func(x) @ u,
+                                 dim=gp.x_dim, name="mean_fu")
+        return f_det + f_leaf, fu_det + fu_leaf
+
     def f_func(self, state, x):
         xs = self._shift_inv(x)
         learned = self.gp.f_mean(state.params, state.data, state.cache, xs)

@@ -49,8 +49,8 @@ def cbc2_gp(h, grad_h, f_gp_fn, fu_gp_fn, x_dim: int, k_alpha, u) -> GP:
     Parity: bayes_cbf/cbc2.py:26-33.  `f_gp_fn()` and `fu_gp_fn(u)` return
     LeafGPs with their cross-covariance registered (the model supplies it,
     see MVGP.covar_fu_f)."""
+    fu_gp = fu_gp_fn(u)   # called first: builders may pair (f, fu) per u
     f_gp = f_gp_fn()
-    fu_gp = fu_gp_fn(u)
     h_gp = DeterministicGP(lambda x: jnp.reshape(h(x), (1,)), dim=1, name="h")
     grad_h_gp = DeterministicGP(grad_h, dim=x_dim, name="grad_h")
     L1h = grad_h_gp.t() @ f_gp

@@ -47,9 +47,9 @@ class UnicycleSim(NamedTuple):
     def step(self, carry, t):
         """One control step: plan -> cones -> SOCP -> record/learn -> Euler."""
         x, dyn_state = carry
-        fu_gp_fn = lambda u: self.learned_dynamics.fu_func_gp(dyn_state, u)
+        moments_fn = lambda xx: self.learned_dynamics.moments(dyn_state, xx)
         u, info = bayes_clf_control(self.controller, self.clf, self.cbfs,
-                                    self.planner, fu_gp_fn, x, t)
+                                    self.planner, moments_fn, x, t)
         # online learning: record (x, u) and refit on schedule
         # (reference calls dynamics.train(x, uopt) inside control(),
         #  unicycle_move_to_pose.py:993-994)

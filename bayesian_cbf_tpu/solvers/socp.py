@@ -12,27 +12,29 @@ where Q_d = { (s0, s1) : s0 >= ||s1||_2 } is the second-order cone of
 dimension d (d = 1 degenerates to the nonnegative orthant, so linear
 inequalities are 1-dim cones).
 
-Design notes (TPU-first):
-  * cone layout `dims` is a static tuple -> the per-cone loop unrolls at
-    trace time into fused dense algebra; every iteration is a handful of
-    tiny matmuls that XLA keeps in registers/VMEM;
-  * fixed iteration count, `where`-guarded numerics (no data-dependent
-    control flow) -> fully jittable and vmappable: thousands of SOCPs
-    solve in parallel as one batched kernel, which is what makes the
-    >=10k control-steps/sec target possible (BASELINE.md north-star);
+TPU-first design:
+  * all cones are zero-padded to a common dimension dmax at trace time
+    (padding coordinates stay exactly zero through the whole Jordan/NT
+    algebra), so every per-cone operation is one vectorized (C, dmax)
+    kernel — constant op count per iteration regardless of cone count,
+    which keeps the solver latency-bound-friendly inside a rollout scan;
+  * fixed iteration count, `where`-guarded numerics, best-iterate
+    tracking -> fully jittable and vmappable: thousands of SOCPs solve in
+    parallel as one batched program (the >=10k control-steps/sec enabler,
+    BASELINE.md north star);
   * infeasibility cannot raise inside a scan (the reference raises
-    InfeasibleProblemError, optimizers.py:74-86); instead the solution
-    carries residual diagnostics so callers can apply an in-graph
-    fallback (SURVEY.md section 5.3).
+    InfeasibleProblemError, optimizers.py:74-86); the solution carries
+    residual diagnostics for in-graph fallbacks (SURVEY.md 5.3).
 
-Algorithm: standard Mehrotra predictor-corrector conelp with NT scaling
+Algorithm: Mehrotra predictor-corrector conelp with NT scaling
 (Vandenberghe, "The CVXOPT linear and quadratic cone program solvers";
-Alizadeh & Goldfarb 2003).  For each SOC with J = diag(1, -I):
+Alizadeh & Goldfarb 2003).  Per SOC with J = diag(1, -I):
     sbar = s / sqrt(s^T J s),  zbar = z / sqrt(z^T J z),
     gamma^2 = (1 + sbar^T zbar) / 2,
-    wbar = (sbar + J zbar) / (2 gamma),      (wbar^T J wbar = 1)
+    wbar = (sbar + J zbar) / (2 gamma),       (wbar^T J wbar = 1)
     eta  = (s^T J s / z^T J z)^{1/4},
-    W^2  = eta^2 (2 wbar wbar^T - J),  W^{-2} = eta^{-2} (2 (J wbar)(J wbar)^T - J).
+    W^2  = eta^2 (2 wbar wbar^T - J),
+    W^{-2} = eta^{-2} (2 (J wbar)(J wbar)^T - J).
 """
 from __future__ import annotations
 
@@ -47,109 +49,93 @@ _EPS = 1e-14
 
 class SOCPSolution(NamedTuple):
     x: jax.Array
-    s: jax.Array
-    z: jax.Array
+    s: jax.Array          # (C, dmax) padded slacks
+    z: jax.Array          # (C, dmax) padded duals
     pres: jax.Array       # primal residual |Gx+s-h| / max(1,|h|)
     dres: jax.Array       # dual residual |c+G^T z| / max(1,|c|)
-    gap: jax.Array        # complementarity s^T z / nu
+    gap: jax.Array        # complementarity |s^T z| / nu
     pcost: jax.Array      # c^T x
 
 
-def _split(v, dims):
-    out, i = [], 0
-    for d in dims:
-        out.append(v[i:i + d])
-        i += d
-    return out
+# ---- vectorized cone algebra on (C, d) blocks -----------------------------
+
+def _jdot(U):
+    return U[:, 0] ** 2 - jnp.sum(U[:, 1:] ** 2, axis=1)
 
 
-def _jdot(u):
-    """u^T J u = u0^2 - |u1|^2 for one cone block."""
-    return u[0] * u[0] - jnp.sum(u[1:] * u[1:])
+def _jflip(U):
+    """J U: negate tail coordinates."""
+    return jnp.concatenate([U[:, :1], -U[:, 1:]], axis=1)
 
 
-def _jordan_mul(u, v):
-    """SOC Jordan product: u o v = (u^T v, u0 v1 + v0 u1)."""
-    head = jnp.sum(u * v)
-    tail = u[0] * v[1:] + v[0] * u[1:]
-    return jnp.concatenate([head[None], tail])
+def _jmul(U, V):
+    """Jordan product per cone: (u.v, u0 v1 + v0 u1)."""
+    head = jnp.sum(U * V, axis=1, keepdims=True)
+    tail = U[:, :1] * V[:, 1:] + V[:, :1] * U[:, 1:]
+    return jnp.concatenate([head, tail], axis=1)
 
 
-def _jordan_inv_mul(lmbda, v):
-    """Solve lmbda o u = v for u."""
-    det = _jdot(lmbda)
+def _jinv_mul(L, V):
+    """Solve L o U = V per cone."""
+    det = _jdot(L)
     det = jnp.where(jnp.abs(det) < _EPS, _EPS, det)
-    l0 = jnp.where(jnp.abs(lmbda[0]) < _EPS, _EPS, lmbda[0])
-    u0 = (lmbda[0] * v[0] - jnp.sum(lmbda[1:] * v[1:])) / det
-    u1 = (v[1:] - u0 * lmbda[1:]) / l0
-    return jnp.concatenate([u0[None], u1])
+    l0 = jnp.where(jnp.abs(L[:, 0]) < _EPS, _EPS, L[:, 0])
+    u0 = (L[:, 0] * V[:, 0] - jnp.sum(L[:, 1:] * V[:, 1:], axis=1)) / det
+    u1 = (V[:, 1:] - u0[:, None] * L[:, 1:]) / l0[:, None]
+    return jnp.concatenate([u0[:, None], u1], axis=1)
 
 
-def _unit_e(d, dtype):
-    return jnp.concatenate([jnp.ones((1,), dtype), jnp.zeros((d - 1,), dtype)])
-
-
-def _nt_scaling(s, z):
-    """Per-cone NT scaling: returns (wbar, eta) with W = eta * Wbar."""
-    ss = jnp.sqrt(jnp.maximum(_jdot(s), _EPS))
-    zz = jnp.sqrt(jnp.maximum(_jdot(z), _EPS))
-    sbar, zbar = s / ss, z / zz
-    gamma = jnp.sqrt(jnp.maximum((1.0 + jnp.sum(sbar * zbar)) * 0.5, _EPS))
-    Jzbar = jnp.concatenate([zbar[:1], -zbar[1:]])
-    wbar = (sbar + Jzbar) / (2.0 * gamma)
+def _nt_scaling(S, Z):
+    """(wbar (C,d), eta (C,)) with W = eta * Wbar per cone."""
+    ss = jnp.sqrt(jnp.maximum(_jdot(S), _EPS))
+    zz = jnp.sqrt(jnp.maximum(_jdot(Z), _EPS))
+    Sb, Zb = S / ss[:, None], Z / zz[:, None]
+    gam = jnp.sqrt(jnp.maximum((1.0 + jnp.sum(Sb * Zb, axis=1)) * 0.5, _EPS))
+    Wb = (Sb + _jflip(Zb)) / (2.0 * gam[:, None])
     eta = jnp.sqrt(ss / zz)
-    return wbar, eta
+    return Wb, eta
 
 
-def _w_mul(wbar, eta, v):
-    """W v = eta * Wbar v, Wbar = [[w0, w1^T],[w1, I + w1 w1^T/(1+w0)]]."""
-    w0, w1 = wbar[0], wbar[1:]
-    head = w0 * v[0] + jnp.sum(w1 * v[1:])
-    tail = v[0] * w1 + v[1:] + w1 * (jnp.sum(w1 * v[1:]) / (1.0 + w0))
-    return eta * jnp.concatenate([head[None], tail])
+def _w_mul(Wb, eta, V):
+    """W V per cone (Wbar = [[w0, w1^T],[w1, I + w1 w1^T/(1+w0)]])."""
+    w0, w1 = Wb[:, :1], Wb[:, 1:]
+    dot = jnp.sum(w1 * V[:, 1:], axis=1, keepdims=True)
+    head = w0 * V[:, :1] + dot
+    tail = V[:, :1] * w1 + V[:, 1:] + w1 * (dot / (1.0 + w0))
+    return eta[:, None] * jnp.concatenate([head, tail], axis=1)
 
 
-def _winv_mul(wbar, eta, v):
-    """W^{-1} v; Wbar^{-1} = J Wbar J."""
-    Jv = jnp.concatenate([v[:1], -v[1:]])
-    u = _w_mul(wbar, 1.0, Jv)
-    Ju = jnp.concatenate([u[:1], -u[1:]])
-    return Ju / eta
+def _winv_mul(Wb, eta, V):
+    """W^{-1} V; Wbar^{-1} = J Wbar J."""
+    U = _w_mul(Wb, jnp.ones_like(eta), _jflip(V))
+    return _jflip(U) / eta[:, None]
 
 
-def _winv2_mul(wbar, eta, v):
-    """W^{-2} v = eta^{-2} (2 (J wbar)(J wbar)^T - J) v."""
-    Jw = jnp.concatenate([wbar[:1], -wbar[1:]])
-    Jv = jnp.concatenate([v[:1], -v[1:]])
-    return (2.0 * Jw * jnp.sum(Jw * v) - Jv) / (eta * eta)
+def _winv2_mul(Wb, eta, V):
+    """W^{-2} V = eta^{-2} (2 (J wbar)(J wbar)^T - J) V."""
+    Jw = _jflip(Wb)
+    dots = jnp.sum(Jw * V, axis=1, keepdims=True)
+    return (2.0 * Jw * dots - _jflip(V)) / (eta ** 2)[:, None]
 
 
-def _max_step(p, dp):
-    """Largest t in [0, BIG] with p + t dp in the SOC (p strictly inside).
-
-    Solves the boundary quadratic a t^2 + b t + c = 0 with
-    a = dp^T J dp, b = 2 p^T J dp, c = p^T J p > 0, intersected with the
-    linear bound p0 + t dp0 >= 0."""
+def _max_step(P, D):
+    """Per-cone largest t >= 0 with P + t D in the SOC (P interior)."""
     BIG = 1e10
-    a = _jdot(dp)
-    b = 2.0 * (p[0] * dp[0] - jnp.sum(p[1:] * dp[1:]))
-    c = jnp.maximum(_jdot(p), _EPS)
-    disc = b * b - 4.0 * a * c
+    a = _jdot(D)
+    b = 2.0 * (P[:, 0] * D[:, 0] - jnp.sum(P[:, 1:] * D[:, 1:], axis=1))
+    cq = jnp.maximum(_jdot(P), _EPS)
+    disc = b * b - 4.0 * a * cq
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    # smallest positive root of the quadratic (stable form)
     denom = jnp.where(jnp.abs(a) > _EPS, 2.0 * a, _EPS)
     r1 = (-b - sq) / denom
     r2 = (-b + sq) / denom
-    lo = jnp.minimum(r1, r2)
-    hi = jnp.maximum(r1, r2)
+    lo, hi = jnp.minimum(r1, r2), jnp.maximum(r1, r2)
     root = jnp.where(lo > 0, lo, jnp.where(hi > 0, hi, BIG))
-    # a ~ 0 -> linear: c + b t = 0
-    lin_root = jnp.where(b < 0, -c / jnp.where(b < 0, b, -1.0), BIG)
+    lin_root = jnp.where(b < 0, -cq / jnp.where(b < 0, b, -1.0), BIG)
     t_quad = jnp.where(jnp.abs(a) > _EPS,
-                       jnp.where(disc > 0, root, BIG),
-                       lin_root)
-    # head nonnegativity
-    t_head = jnp.where(dp[0] < 0, -p[0] / jnp.where(dp[0] < 0, dp[0], -1.0), BIG)
+                       jnp.where(disc > 0, root, BIG), lin_root)
+    t_head = jnp.where(D[:, 0] < 0,
+                       -P[:, 0] / jnp.where(D[:, 0] < 0, D[:, 0], -1.0), BIG)
     return jnp.clip(jnp.minimum(t_quad, t_head), 0.0, BIG)
 
 
@@ -159,141 +145,117 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
                tol: float = 1e-10) -> SOCPSolution:
     """Solve min c^T x s.t. Gx + s = h, s in product of SOCs of sizes `dims`.
 
-    `dims` is static; the solver unrolls `iters` Mehrotra iterations and is
-    safe under jit/vmap (no data-dependent control flow)."""
+    `dims` is static; the body is one lax.scan of `iters` Mehrotra
+    iterations over vectorized padded cone blocks."""
     dtype = jnp.result_type(c.dtype, G.dtype, h.dtype)
     c = c.astype(dtype)
     G = G.astype(dtype)
     h = h.astype(dtype)
     nx = c.shape[-1]
-    nu = float(len(dims))
-    e = jnp.concatenate([_unit_e(d, dtype) for d in dims])
+    C = len(dims)
+    dmax = max(dims)
+    nu = float(C)
 
-    x = jnp.zeros((nx,), dtype)
-    s = e
-    z = e
+    # pad every cone block to dmax rows (trace-time, static)
+    Gp = jnp.zeros((C, dmax, nx), dtype)
+    hp = jnp.zeros((C, dmax), dtype)
+    off = 0
+    for i, d in enumerate(dims):
+        Gp = Gp.at[i, :d, :].set(G[off:off + d, :])
+        hp = hp.at[i, :d].set(h[off:off + d])
+        off += d
 
-    def cone_scalars(fn, *vecs):
-        splits = [_split(v, dims) for v in vecs]
-        return jnp.stack([fn(*[sp[i] for sp in splits])
-                          for i in range(len(dims))])
-
+    e = jnp.zeros((C, dmax), dtype).at[:, 0].set(1.0)
+    x0 = jnp.zeros((nx,), dtype)
     hnorm = jnp.maximum(1.0, jnp.linalg.norm(h))
     cnorm = jnp.maximum(1.0, jnp.linalg.norm(c))
 
-    def _score(x, s, z):
-        rx = c + G.T @ z
-        rz = G @ x + s - h
-        mu = jnp.abs(jnp.sum(s * z)) / nu
+    def _score(x, S, Z):
+        rx = c + jnp.einsum('cdn,cd->n', Gp, Z)
+        rz = jnp.einsum('cdn,n->cd', Gp, x) + S - hp
+        mu = jnp.abs(jnp.sum(S * Z)) / nu
         return jnp.maximum(jnp.maximum(jnp.linalg.norm(rz) / hnorm,
                                        jnp.linalg.norm(rx) / cnorm), mu)
 
     def body(carry, _):
-        x, s, z, best = carry
-        bx, bs, bz, bscore = best
-        # best-iterate tracking: iterating near the boundary can degrade the
-        # NT scaling; we always return the best iterate seen.
-        score = _score(x, s, z)
+        x, S, Z, best = carry
+        bx, bS, bZ, bscore = best
+        score = _score(x, S, Z)
         better = score < bscore
-        best = (jnp.where(better, x, bx), jnp.where(better, s, bs),
-                jnp.where(better, z, bz), jnp.minimum(score, bscore))
-        rx = c + G.T @ z
-        rz = G @ x + s - h
-        mu = jnp.sum(s * z) / nu
-        # freeze once converged: iterating past convergence degenerates the
-        # NT scaling (s, z on the cone boundary -> NaN); a where-select keeps
-        # the graph static while making further iterations no-ops.
+        best = (jnp.where(better, x, bx), jnp.where(better, S, bS),
+                jnp.where(better, Z, bZ), jnp.minimum(score, bscore))
         done = score < tol
 
-        # NT scaling per cone
-        s_parts, z_parts = _split(s, dims), _split(z, dims)
-        scal = [_nt_scaling(sk, zk) for sk, zk in zip(s_parts, z_parts)]
-        lam = jnp.concatenate([_w_mul(wb, et, zk)
-                               for (wb, et), zk in zip(scal, z_parts)])
-        lam_parts = _split(lam, dims)
+        rx = c + jnp.einsum('cdn,cd->n', Gp, Z)
+        rz = jnp.einsum('cdn,n->cd', Gp, x) + S - hp
+        mu = jnp.sum(S * Z) / nu
 
-        def winv2(v):
-            vp = _split(v, dims)
-            return jnp.concatenate([_winv2_mul(wb, et, vk)
-                                    for (wb, et), vk in zip(scal, vp)])
+        Wb, eta = _nt_scaling(S, Z)
+        lam = _w_mul(Wb, eta, Z)
 
-        def wmulT(v):  # W^T = W (symmetric)
-            vp = _split(v, dims)
-            return jnp.concatenate([_w_mul(wb, et, vk)
-                                    for (wb, et), vk in zip(scal, vp)])
-
-        def winvT(v):
-            vp = _split(v, dims)
-            return jnp.concatenate([_winv_mul(wb, et, vk)
-                                    for (wb, et), vk in zip(scal, vp)])
-
-        # KKT reduction: [G^T W^{-2} G] dx = -rx - G^T W^{-2} (rz - W^T d)
-        WinvG = jax.vmap(winv2, in_axes=1, out_axes=1)(G)  # W^{-2} G columns
-        H = G.T @ WinvG
+        # W^{-2} applied to every column of G (vectorized over nx)
+        Jw = _jflip(Wb)                                    # (C, d)
+        dots = jnp.einsum('cd,cdn->cn', Jw, Gp)            # (C, nx)
+        JG = jnp.concatenate([Gp[:, :1, :], -Gp[:, 1:, :]], axis=1)
+        Winv2G = (2.0 * Jw[:, :, None] * dots[:, None, :] - JG) \
+            / (eta ** 2)[:, None, None]                    # (C, d, nx)
+        H = jnp.einsum('cdn,cdm->nm', Gp, Winv2G)
         H = H + 1e-12 * jnp.trace(H) * jnp.eye(nx, dtype=dtype)
         Hcho = jax.scipy.linalg.cho_factor(H)
 
-        def kkt_solve(d_scaled):
-            """d_scaled solves: W dz + W^{-T} ds = -d_scaled."""
-            rhs = -rx - G.T @ winv2(rz - wmulT(d_scaled))
+        def kkt_solve(Dscaled):
+            """Dscaled (C,d) with  W dz + W^{-T} ds = -Dscaled."""
+            rhs_cd = rz - _w_mul(Wb, eta, Dscaled)
+            rhs = -rx - jnp.einsum('cdn,cd->n', Gp,
+                                   _winv2_mul(Wb, eta, rhs_cd))
             dx = jax.scipy.linalg.cho_solve(Hcho, rhs)
-            ds = -rz - G @ dx
-            dz = winv2(G @ dx + rz - wmulT(d_scaled))
-            return dx, ds, dz
+            Gdx = jnp.einsum('cdn,n->cd', Gp, dx)
+            dS = -rz - Gdx
+            dZ = _winv2_mul(Wb, eta, Gdx + rhs_cd)
+            return dx, dS, dZ
 
-        # ---- affine (predictor) step: d = lambda
-        dx_a, ds_a, dz_a = kkt_solve(lam)
-        step_s = cone_scalars(_max_step, s, ds_a)
-        step_z = cone_scalars(_max_step, z, dz_a)
-        alpha_a = jnp.minimum(jnp.min(step_s), jnp.min(step_z))
-        alpha_a = jnp.minimum(alpha_a, 1.0)
-        mu_a = jnp.sum((s + alpha_a * ds_a) * (z + alpha_a * dz_a)) / nu
+        # affine (predictor)
+        dx_a, dS_a, dZ_a = kkt_solve(lam)
+        alpha_a = jnp.minimum(1.0, jnp.minimum(
+            jnp.min(_max_step(S, dS_a)), jnp.min(_max_step(Z, dZ_a))))
+        mu_a = jnp.sum((S + alpha_a * dS_a) * (Z + alpha_a * dZ_a)) / nu
         sigma = jnp.clip((mu_a / jnp.maximum(mu, _EPS)) ** 3, 0.0, 1.0)
 
-        # ---- corrector: d = lambda o lambda + (W^{-T}ds_a)o(W dz_a) - sigma mu e
-        Wds = winvT(ds_a)
-        Wdz = wmulT(dz_a)
-        corr_parts = [_jordan_mul(a, b)
-                      for a, b in zip(_split(Wds, dims), _split(Wdz, dims))]
-        rs = jnp.concatenate([
-            _jordan_mul(lk, lk) + ck - sigma * mu * _unit_e(dk, dtype)
-            for lk, ck, dk in zip(lam_parts, corr_parts, dims)])
-        d_comb = jnp.concatenate([
-            _jordan_inv_mul(lk, rk)
-            for lk, rk in zip(lam_parts, _split(rs, dims))])
+        # corrector
+        corr = _jmul(_winv_mul(Wb, eta, dS_a), _w_mul(Wb, eta, dZ_a))
+        rs = _jmul(lam, lam) + corr - sigma * mu * e
+        Dcomb = _jinv_mul(lam, rs)
 
-        dx, ds, dz = kkt_solve(d_comb)
-        step_s = cone_scalars(_max_step, s, ds)
-        step_z = cone_scalars(_max_step, z, dz)
-        alpha = 0.99 * jnp.minimum(jnp.min(step_s), jnp.min(step_z))
+        dx, dS, dZ = kkt_solve(Dcomb)
+        alpha = 0.99 * jnp.minimum(
+            jnp.min(_max_step(S, dS)), jnp.min(_max_step(Z, dZ)))
         alpha = jnp.minimum(alpha, 1.0)
 
         x_new = x + alpha * dx
-        s_new = s + alpha * ds
-        z_new = z + alpha * dz
-        keep = done | ~jnp.all(jnp.isfinite(
-            jnp.concatenate([x_new, s_new, z_new])))
+        S_new = S + alpha * dS
+        Z_new = Z + alpha * dZ
+        finite = (jnp.all(jnp.isfinite(x_new)) & jnp.all(jnp.isfinite(S_new))
+                  & jnp.all(jnp.isfinite(Z_new)))
+        keep = done | ~finite
         x = jnp.where(keep, x, x_new)
-        s = jnp.where(keep, s, s_new)
-        z = jnp.where(keep, z, z_new)
-        return (x, s, z, best), None
+        S = jnp.where(keep, S, S_new)
+        Z = jnp.where(keep, Z, Z_new)
+        return (x, S, Z, best), None
 
     big = jnp.asarray(jnp.inf, dtype)
-    init_best = (x, s, z, big)
-    (x, s, z, best), _ = jax.lax.scan(body, (x, s, z, init_best), None,
-                                      length=iters)
-    # final candidate vs best seen
-    score = _score(x, s, z)
-    bx, bs, bz, bscore = best
+    init = (x0, e, e, (x0, e, e, big))
+    (x, S, Z, best), _ = jax.lax.scan(body, init, None, length=iters)
+    score = _score(x, S, Z)
+    bx, bS, bZ, bscore = best
     better = score < bscore
     x = jnp.where(better, x, bx)
-    s = jnp.where(better, s, bs)
-    z = jnp.where(better, z, bz)
+    S = jnp.where(better, S, bS)
+    Z = jnp.where(better, Z, bZ)
 
-    pres = jnp.linalg.norm(G @ x + s - h) / hnorm
-    dres = jnp.linalg.norm(c + G.T @ z) / cnorm
-    gap = jnp.abs(jnp.sum(s * z)) / nu
-    return SOCPSolution(x=x, s=s, z=z, pres=pres, dres=dres, gap=gap,
+    pres = jnp.linalg.norm(jnp.einsum('cdn,n->cd', Gp, x) + S - hp) / hnorm
+    dres = jnp.linalg.norm(c + jnp.einsum('cdn,cd->n', Gp, Z)) / cnorm
+    gap = jnp.abs(jnp.sum(S * Z)) / nu
+    return SOCPSolution(x=x, s=S, z=Z, pres=pres, dres=dres, gap=gap,
                         pcost=c @ x)
 
 

@@ -50,23 +50,20 @@ def psd_cholesky(K: jax.Array,
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
     # scale-aware base jitter: relative to mean diagonal magnitude
-    diag_scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(K, axis1=-2, axis2=-1))), 1.0)
-
-    def attempt(i):
-        jitter = init_jitter * (growth ** i) * diag_scale
-        Ki = K + jitter * eye
-        return Ki, jnp.linalg.cholesky(Ki)
-
-    # try zero jitter first
-    L0 = jnp.linalg.cholesky(K)
-    best_K, best_L, found = K, jnp.where(_chol_ok(L0), L0, 0.0), _chol_ok(L0)
-    for i in range(num_tries):
-        Ki, Li = attempt(i)
-        ok = _chol_ok(Li) & ~found
-        best_K = jnp.where(ok, Ki, best_K)
-        best_L = jnp.where(ok, jnp.nan_to_num(Li), best_L)
-        found = found | _chol_ok(Li)
-    return best_K, best_L
+    diag_scale = jnp.maximum(
+        jnp.mean(jnp.abs(jnp.diagonal(K, axis1=-2, axis2=-1))), 1.0)
+    # batched ladder: one (num_tries+1)-batched cholesky instead of a
+    # sequential retry chain (TPU: a single kernel, not a latency chain)
+    jitters = jnp.concatenate([
+        jnp.zeros((1,), K.dtype),
+        init_jitter * diag_scale * (growth ** jnp.arange(num_tries,
+                                                         dtype=K.dtype))])
+    Ks = K[None] + jitters[:, None, None] * eye
+    Ls = jnp.linalg.cholesky(Ks)
+    ok = jnp.all(jnp.isfinite(Ls), axis=(-2, -1))
+    # index of the first successful factorization
+    idx = jnp.argmax(ok)
+    return Ks[idx], jnp.nan_to_num(Ls[idx])
 
 
 def psd_clamp_eigh(K: jax.Array, eps: float = 0.0) -> jax.Array:
