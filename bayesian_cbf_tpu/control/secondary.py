@@ -17,6 +17,12 @@ from ..utils.func import clip_vec, epsilon_interp
 from .clf_cbf import cartesian2polar
 
 
+def _solve_pd(A, b):
+    """Cholesky solve for PD systems (TPU: f64 LU is unsupported)."""
+    L = jnp.linalg.cholesky(A)
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
 class ZeroController(NamedTuple):
     """u = 0 (controllers.py:166-171)."""
     u_dim: int = 1
@@ -43,8 +49,7 @@ class GreedyController(NamedTuple):
         Gs = self.dt * Gx
         H = Gs.T @ self.Q @ Gs + self.R
         rhs = -Gs.T @ self.Q @ xt
-        u = jnp.linalg.solve(H + 1e-9 * jnp.eye(H.shape[0], dtype=x.dtype),
-                             rhs)
+        u = _solve_pd(H + 1e-9 * jnp.eye(H.shape[0], dtype=x.dtype), rhs)
         return clip_vec(u, jnp.asarray(self.ctrl_range[0], x.dtype),
                         jnp.asarray(self.ctrl_range[1], x.dtype))
 
@@ -71,7 +76,7 @@ class LQRController(NamedTuple):
 
         def riccati(P, _):
             BtP = B.T @ P
-            K = jnp.linalg.solve(R + BtP @ B, BtP @ A)
+            K = _solve_pd(R + BtP @ B, BtP @ A)
             P = Q + A.T @ P @ (A - B @ K)
             return P, K
 
@@ -160,7 +165,7 @@ class ILQRController(NamedTuple):
             def backward(P, AB):
                 A, B, x = AB
                 BtP = B.T @ P
-                K = jnp.linalg.solve(R + BtP @ B, BtP @ A)
+                K = _solve_pd(R + BtP @ B, BtP @ A)
                 P = Q + A.T @ P @ (A - B @ K)
                 return P, (K,)
 

@@ -1,0 +1,81 @@
+"""BASELINE.json config 5 — batched Monte-Carlo rollouts + trigger sweep.
+
+New capability relative to the reference (which is strictly single-rollout,
+SURVEY.md 2.11): N independent unicycle Bayes-CBF episodes run as one
+sharded program over the device mesh, with on-device aggregate safety
+statistics, followed by the self-triggered-interval sweep of
+trigger_interval.py computed for a sampled rollout.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.mesh import batched_rollouts, make_mesh, rollout_safety_stats
+from ..observability.trigger import trigger_intervals
+from .unicycle import STATE_GOAL, STATE_START, make_ackermann_tracking_sim
+
+
+def monte_carlo_unicycle(n_rollouts: int = 1024,
+                         start_noise: float = 0.05,
+                         seed: int = 0,
+                         mesh=None,
+                         **sim_kw):
+    """N perturbed-start Bayes-CBF episodes sharded over the mesh.
+
+    Returns (outs, stats) where outs has leading batch dim and stats are
+    scalar on-device reductions (collision fraction, goal distance,
+    min clearance)."""
+    sim_kw.setdefault("numSteps", 500)
+    sim_kw.setdefault("dt", 0.004)
+    sim_kw.setdefault("max_train", 64)
+    sim_kw.setdefault("training_iter", 30)
+    sim = make_ackermann_tracking_sim(**sim_kw)
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    x0 = jnp.asarray(STATE_START)
+    x0s = x0[None, :] + start_noise * jax.random.normal(
+        k1, (n_rollouts, 3), x0.dtype)
+    keys = jax.random.split(k2, n_rollouts)
+
+    if mesh is None:
+        mesh = make_mesh()
+    outs = batched_rollouts(sim, x0s, keys, mesh)
+    centers = jnp.stack([c.center for c in sim.cbfs])
+    radii = jnp.stack([jnp.asarray(c.radius) for c in sim.cbfs])
+    stats = rollout_safety_stats(outs, centers, radii,
+                                 jnp.asarray(STATE_GOAL))
+    return sim, outs, stats
+
+
+def trigger_sweep_for_rollout(sim, outs, rollout_idx: int = 0,
+                              stride: int = 10, seed: int = 0,
+                              lengthscale=None, outputscale=None,
+                              A=None, B=None):
+    """Self-triggered interval tau along one episode of a batch
+    (trigger_interval.py:86-177 — there driven from tensorboard replays;
+    here directly from rollout arrays).  Kernel hyperparameters default to
+    the prior values when not given."""
+    X = outs.X[rollout_idx][::stride]
+    U = outs.U[rollout_idx][::stride]
+    Xdot = outs.Xdot[rollout_idx][::stride]
+    T = X.shape[0]
+    n = X.shape[-1]
+    mh = U.shape[-1] + 1
+    dt = X.dtype
+    ls = jnp.ones((T, n), dt) if lengthscale is None else lengthscale
+    sf = jnp.ones((T,), dt) if outputscale is None else outputscale
+    A_ = (jnp.tile(jnp.eye(n, dtype=dt)[None], (T, 1, 1))
+          if A is None else A)
+    B_ = (jnp.tile(jnp.eye(mh, dtype=dt)[None], (T, 1, 1))
+          if B is None else B)
+    # max CBF gradient magnitude over the visited states
+    gmax = jnp.max(jnp.stack([
+        jnp.max(jnp.abs(jax.vmap(cbf.grad_cbf)(X)))
+        for cbf in sim.cbfs]))
+    return trigger_intervals(X, Xdot, U, sf, ls, A_, B_, gmax,
+                             jax.random.PRNGKey(seed))

@@ -128,6 +128,100 @@ def run_pendulum_online_learning(sim: PendulumOnlineSim,
 
 
 # ---------------------------------------------------------------------------
+# ground-truth CLF-CBF QP controller (PendulumCBFCLFDirect)
+# ---------------------------------------------------------------------------
+
+def ground_truth_cbf_clf_control(x, clf, cbf2, ctrl_range=(-15.0, 15.0),
+                                 margin_weight=100.0, socp_iters=25):
+    """The reference's control_QP_cbf_clf (pendulum.py:770-864): stack the
+    affine constraints A_i(x) u <= b_i(x) from EnergyCLF (slack-relaxed)
+    and RadialCBFRelDegree2 (hard), minimize ||u||^2 + w * slack^2.
+
+    Here: variables [u, slack, t]; rotated cone for the quadratic
+    objective; the CLF row gets the slack, the CBF row is hard."""
+    import jax.numpy as jnp
+    from ..solvers.socp import solve_socp
+    dtype = x.dtype
+    m = 1
+    nvar = m + 2
+    # objective ||[u; sqrt(w) slack]||^2 <= t via ||[2u; 2 sqrt(w) s; t-1]||
+    # <= t+1
+    sw = math.sqrt(margin_weight)
+    A = jnp.zeros((m + 2, nvar), dtype)
+    A = A.at[0, 0].set(2.0).at[1, 1].set(2.0 * sw).at[2, 2].set(1.0)
+    b = jnp.zeros((m + 2,), dtype).at[m + 1].set(-1.0)
+    cvec = jnp.zeros((nvar,), dtype).at[2].set(1.0)
+    Gs = [jnp.concatenate([-cvec[None, :], -A], 0)]
+    hs = [jnp.concatenate([jnp.ones((1,), dtype), b])]
+    dims = [m + 3]
+
+    def lin(coef, const):
+        Gs.append(-coef[None, :])
+        hs.append(jnp.reshape(const, (1,)))
+        dims.append(1)
+
+    # CLF: A_clf u - b_clf <= slack
+    coef = jnp.zeros((nvar,), dtype).at[0].set(-clf.A(x)[0]).at[1].set(1.0)
+    lin(coef, -(-clf.b(x)))
+    # CBF rel-deg-2: A u - b <= 0  ->  -A u + b >= 0
+    coef = jnp.zeros((nvar,), dtype).at[0].set(-cbf2.A(x)[0])
+    lin(coef, cbf2.b(x))
+    # box
+    lo, hi = ctrl_range
+    e0 = jnp.zeros((nvar,), dtype).at[0].set(1.0)
+    lin(e0, jnp.asarray(-lo, dtype))
+    lin(-e0, jnp.asarray(hi, dtype))
+
+    cobj = jnp.zeros((nvar,), dtype).at[2].set(1.0)
+    sol = solve_socp(cobj, jnp.concatenate(Gs, 0), jnp.concatenate(hs, 0),
+                     tuple(dims), iters=socp_iters)
+    return sol.x[:m], sol
+
+
+def run_pendulum_ground_truth(numSteps=400, dt=0.01,
+                              theta0=5 * math.pi / 12, omega0=0.0):
+    """run_pendulum_control_cbf_clf equivalent (pendulum.py:1019-1026):
+    ground-truth model, EnergyCLF + RadialCBFRelDegree2 QP."""
+    from ..control.pendulum_safety import EnergyCLF, RadialCBFRelDegree2
+    pend = PendulumDynamics()
+    clf = EnergyCLF(model=pend)
+    cbf2 = RadialCBFRelDegree2(model=pend)
+
+    def step(x, _):
+        u, sol = ground_truth_cbf_clf_control(x, clf, cbf2)
+        xn, xdot = pend.step(x, u, dt)
+        return xn, (x, u, sol.pres)
+
+    x0 = jnp.asarray([theta0, omega0])
+    _, (X, U, pres) = jax.lax.scan(step, x0, None, length=numSteps)
+    return X, U, pres
+
+
+def pendulum_damage_fraction(theta_traj, theta_c=math.pi / 4,
+                             delta_col=math.pi / 8):
+    """Fraction of steps in the unsafe collision wedge
+    |theta - theta_c| < delta_col (the reference's damage indicator,
+    pendulum.py:164-252)."""
+    d = jnp.abs(jnp.asarray(theta_traj) - theta_c)
+    d = jnp.minimum(d, 2 * math.pi - d)
+    return jnp.mean((d < delta_col).astype(jnp.float32))
+
+
+def sample_iid_pendulum(key, n, x_range=(-math.pi, math.pi),
+                        w_range=(-3.0, 3.0), u_range=(-10.0, 10.0)):
+    """i.i.d. (x, u) -> xdot samples (sample_generator_independent,
+    sampling.py:78-90)."""
+    pend = PendulumDynamics()
+    k1, k2, k3 = jax.random.split(key, 3)
+    th = jax.random.uniform(k1, (n,), minval=x_range[0], maxval=x_range[1])
+    w = jax.random.uniform(k2, (n,), minval=w_range[0], maxval=w_range[1])
+    U = jax.random.uniform(k3, (n, 1), minval=u_range[0], maxval=u_range[1])
+    X = jnp.stack([th, w], -1)
+    Xdot = jax.vmap(lambda x, u: pend.f_func(x) + pend.g_func(x) @ u)(X, U)
+    return X, U, Xdot
+
+
+# ---------------------------------------------------------------------------
 # learn_dynamics + speed test (the paper's benchmark harness)
 # ---------------------------------------------------------------------------
 
@@ -158,7 +252,8 @@ def variance_weighted_error(mean_flat, var_flat, true_flat):
     (measure_batch_error, pendulum.py:1091-1103)."""
     N, D = true_flat.shape
     diff = mean_flat.reshape(N, D) - true_flat
-    sols = jnp.linalg.solve(var_flat, diff[..., None])[..., 0]
+    Ls = jnp.linalg.cholesky(var_flat)
+    sols = jax.scipy.linalg.cho_solve((Ls, True), diff[..., None])[..., 0]
     errs = jnp.einsum('nd,nd->n', diff, sols)
     return jnp.sqrt(jnp.sum(errs) / N)
 

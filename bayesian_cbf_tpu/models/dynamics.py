@@ -349,10 +349,9 @@ class LearnedShiftInvariantDynamics(NamedTuple):
 
     # ------------------------------------------------------------ learn
 
-    def observe(self, state: LearnedDynState, x, u) -> LearnedDynState:
-        """Record (x, u); if a previous pair exists, push the finite-diff
-        xdot residual sample into the reservoir; refit on schedule."""
-        gp = self.gp
+    def record(self, state: LearnedDynState, x, u) -> LearnedDynState:
+        """Buffer update only (no fit): push the finite-difference residual
+        of the previous pair into the reservoir and remember (x, u)."""
         md = self.mean_dynamics
 
         # finite-difference residual from the previous step
@@ -381,28 +380,34 @@ class LearnedShiftInvariantDynamics(NamedTuple):
                                                  buf.mask[slot])))
         count_res = state.count_res + accept.astype(jnp.int32)
 
-        # refit on the reference's schedule: len(Xtrain) > 0 and
-        # len(Xtrain) % train_every_n_steps == 0 (checked *before* append,
-        # unicycle_move_to_pose.py:341-344)
-        do_fit = ((state.count_pairs > 0)
-                  & (state.count_pairs % self.train_every_n_steps == 0)
-                  & (count_res > 0))
-        if not self.enable_learning:
-            do_fit = jnp.zeros((), bool)
-
-        def fit_branch(args):
-            params, b = args
-            params = gp.fit(params, b, training_iter=self.training_iter)
-            return params, b, gp.refresh_cache(params, b)
-
-        def skip_branch(args):
-            params, _ = args
-            return params, state.data, state.cache
-
-        params, data, cache = jax.lax.cond(
-            do_fit, fit_branch, skip_branch, (state.params, buf))
-
         return state._replace(
-            params=params, buf=buf, data=data, cache=cache,
-            prev_x=x, prev_u=u, have_prev=jnp.ones((), bool),
+            buf=buf, prev_x=x, prev_u=u, have_prev=jnp.ones((), bool),
             count_pairs=state.count_pairs + 1, count_res=count_res, key=key)
+
+    def fit_now(self, state: LearnedDynState) -> LearnedDynState:
+        """Unconditional refit on the current reservoir + cache refresh."""
+        params = self.gp.fit(state.params, state.buf,
+                             training_iter=self.training_iter)
+        return state._replace(params=params, data=state.buf,
+                              cache=self.gp.refresh_cache(params, state.buf))
+
+    def should_fit_at(self, t):
+        """The reference's schedule: len(Xtrain) > 0 and
+        len(Xtrain) % train_every_n_steps == 0, checked before appending
+        (unicycle_move_to_pose.py:341-344).  count_pairs == t in a rollout,
+        so the decision is a *scalar* function of the step index — this is
+        what lets batched rollouts hoist the fit out of vmap (a vmapped
+        lax.cond lowers to select and would run the Adam loop every step)."""
+        return (t > 0) & (t % self.train_every_n_steps == 0) \
+            & bool(self.enable_learning)
+
+    def observe(self, state: LearnedDynState, x, u) -> LearnedDynState:
+        """record + on-schedule refit (single-rollout path; batched rollouts
+        call record/fit_now separately around a scalar cond)."""
+        do_fit = self.should_fit_at(state.count_pairs) & (state.count_res > 0)
+        state = self.record(state, x, u)
+
+        def fit_branch(s):
+            return self.fit_now(s)
+
+        return jax.lax.cond(do_fit, fit_branch, lambda s: s, state)

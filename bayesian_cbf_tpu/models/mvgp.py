@@ -114,6 +114,7 @@ class MVGP(NamedTuple):
     rank_B: int
     jitter: float = 1e-6
     gamma_prior: Optional[tuple] = None   # (concentration, rate) on lengthscale
+    use_pallas: bool = False              # fused Gram kernel on TPU (inference)
 
     # ---------------------------------------------------------- init
 
@@ -228,10 +229,25 @@ class MVGP(NamedTuple):
 
     # ---------------------------------------------------------- posterior
 
+    def masked_kb(self, params: MVGPParams, data: MVGPData):
+        """Masked + jittered Gram.  On the inference path (`use_pallas`),
+        a single fused Pallas kernel builds it (ops/gram.py); the MLL fit
+        path always uses the XLA expression (it must be differentiable)."""
+        if self.use_pallas:
+            from ..ops.gram import fused_gram_kb
+            _, LB = psd_cholesky(params.B, init_jitter=1e-10)
+            Xs = data.X / params.lengthscale
+            return fused_gram_kb(Xs, data.UH @ LB, data.mask,
+                                 params.outputscale, self.jitter)
+        Kb = self.gram_kb(params, data)
+        m = data.mask.astype(Kb.dtype)
+        eye = jnp.eye(Kb.shape[0], dtype=Kb.dtype)
+        return Kb * (m[:, None] * m[None, :]) + eye * (1.0 - m)[:, None]
+
     def refresh_cache(self, params: MVGPParams, data: MVGPData) -> MVGPCache:
         """Factor the masked Gram and precompute alpha = Kb^{-1} Y."""
-        _, L = masked_cholesky(self.gram_kb(params, data), data.mask,
-                               init_jitter=self.jitter)
+        _, L = psd_cholesky(self.masked_kb(params, data),
+                            init_jitter=self.jitter)
         Y = self.residual_Y(params, data)
         alpha = jax.scipy.linalg.cho_solve((L, True), Y)
         return MVGPCache(L=L, alpha=alpha)

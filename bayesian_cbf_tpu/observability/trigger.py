@@ -34,8 +34,7 @@ def _d2k_dxi_dxpi(X, Xp, i, sf, ls):
     """d^2 k / dx_i dx'_i on pairs (diagonal pairs X==Xp allowed)."""
     k = _rbf(X, Xp, sf, ls)
     di = (X[:, None, i] - Xp[None, :, i]) / ls[i] ** 2
-    return k / ls[i] ** 2 - di * di * k * ls[i] ** 2 / ls[i] ** 2 * 1.0 \
-        if False else (1.0 / ls[i] ** 2 - di * di) * k
+    return (1.0 / ls[i] ** 2 - di * di) * k
 
 
 def _d3k(X, Xp, i, sf, ls):

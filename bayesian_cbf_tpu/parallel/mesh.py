@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..sim.rollout import UnicycleSim, _simulate_unicycle
+from ..sim.rollout import UnicycleSim, _simulate_unicycle_batch
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -38,16 +38,16 @@ def batched_rollouts(sim: UnicycleSim, x0s, keys, mesh: Optional[Mesh] = None):
 
     x0s: (B, n) initial states; keys: (B,) PRNG keys.  B must be divisible
     by the dp axis size.  Returns RolloutOutputs with a leading batch dim.
-    """
+    Uses the scan-of-vmap runner so the scheduled GP refits stay behind a
+    scalar cond (see _simulate_unicycle_batch)."""
     if mesh is None:
         mesh = make_mesh()
     batch_sharding = NamedSharding(mesh, P("dp"))
     x0s = jax.device_put(jnp.asarray(x0s), batch_sharding)
     keys = jax.device_put(jnp.asarray(keys), batch_sharding)
 
-    fn = jax.jit(
-        jax.vmap(lambda x0, k: _simulate_unicycle(sim, x0, k)),
-        in_shardings=(batch_sharding, batch_sharding))
+    fn = jax.jit(lambda a, k: _simulate_unicycle_batch(sim, a, k),
+                 in_shardings=(batch_sharding, batch_sharding))
     return fn(x0s, keys)
 
 

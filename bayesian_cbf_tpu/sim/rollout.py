@@ -65,6 +65,46 @@ def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
     return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info)
 
 
+def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
+    """Batched episodes as ONE scan-of-vmap (not vmap-of-scan).
+
+    Crucial for throughput: the per-step GP-refit `lax.cond` has a
+    batch-uniform predicate (the schedule depends only on t), but a vmapped
+    cond lowers to `select` and would execute the Adam fit loop at every
+    step for every rollout.  Scanning time outside and vmapping the batch
+    inside keeps the fit behind a *scalar* cond: it runs only on the
+    scheduled steps."""
+    B = x0s.shape[0]
+    init_states = jax.vmap(
+        lambda k: sim.learned_dynamics.init_state(k, dtype=x0s.dtype))(keys)
+
+    def step(carry, t):
+        X, states = carry
+
+        def one(x, st):
+            moments_fn = lambda xx: sim.learned_dynamics.moments(st, xx)
+            u, info = bayes_clf_control(sim.controller, sim.clf, sim.cbfs,
+                                        sim.planner, moments_fn, x, t)
+            st = sim.learned_dynamics.record(st, x, u)
+            x_next, xdot = sim.true_dynamics.step(x, u, sim.dt)
+            return x_next, u, xdot, info, st
+
+        X_next, U, Xdot, info, states = jax.vmap(one)(X, states)
+        states = jax.lax.cond(
+            sim.learned_dynamics.should_fit_at(t),
+            jax.vmap(sim.learned_dynamics.fit_now),
+            lambda s: s, states)
+        return (X_next, states), (X, U, Xdot, info)
+
+    carry = (x0s, init_states)
+    _, (X, U, Xdot, info) = jax.lax.scan(step, carry,
+                                         jnp.arange(sim.numSteps))
+    # -> outputs with leading batch dim (B, T, ...)
+    swap = lambda a: jnp.swapaxes(a, 0, 1)
+    return RolloutOutputs(X=swap(X), U=swap(U), Xdot=swap(Xdot),
+                          info=jax.tree.map(swap, info))
+
+
 # UnicycleSim mixes array leaves with static config ints, so it is closed
 # over rather than passed as a traced argument; the jitted episode runner is
 # cached per sim object (same sim -> same executable).

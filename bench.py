@@ -27,12 +27,12 @@ def main():
 
     from bayesian_cbf_tpu.experiments.unicycle import (
         make_ackermann_tracking_sim, STATE_START)
-    from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle
+    from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle_batch
 
     # flagship-shaped episode, sized to finish the bench in a few minutes:
     # learning on (two refits inside the horizon), 2 obstacle CBC cones +
     # CLC cone + objective cone per step.
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     num_steps = int(os.environ.get("BENCH_STEPS", "512"))
     max_train = int(os.environ.get("BENCH_MAX_TRAIN", "64"))
     sim = make_ackermann_tracking_sim(
@@ -47,7 +47,7 @@ def main():
         jax.random.PRNGKey(0), (batch, 3), dtype)
     keys = jax.random.split(jax.random.PRNGKey(1), batch)
 
-    run = jax.jit(jax.vmap(lambda x0_, k: _simulate_unicycle(sim, x0_, k)))
+    run = jax.jit(lambda a, k: _simulate_unicycle_batch(sim, a, k))
     # warmup/compile
     out = run(x0s, keys)
     jax.block_until_ready(out.X)

@@ -3,7 +3,9 @@ multi-chip sharding paths (mesh/pjit/shard_map) are exercised without TPU
 hardware, and float64 enabled for reference-parity numerics."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the shell exports JAX_PLATFORMS=axon (TPU tunnel) which would
+# route every test compile through the remote TPU compiler
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
