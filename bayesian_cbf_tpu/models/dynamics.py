@@ -226,6 +226,10 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     train_every_n_steps: int = 20
     enable_learning: bool = True
     dt: float = 0.01
+    # new capability vs the reference: incorporate every sample into the
+    # posterior immediately via an O(K^2) rank-1 Cholesky append
+    # (hyperparameters still refit on the train_every_n_steps schedule)
+    continuous_updates: bool = False
 
     # ------------------------------------------------------------ state
 
@@ -352,6 +356,7 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     def record(self, state: LearnedDynState, x, u) -> LearnedDynState:
         """Buffer update only (no fit): push the finite-difference residual
         of the previous pair into the reservoir and remember (x, u)."""
+        gp = self.gp
         md = self.mean_dynamics
 
         # finite-difference residual from the previous step
@@ -380,9 +385,26 @@ class LearnedShiftInvariantDynamics(NamedTuple):
                                                  buf.mask[slot])))
         count_res = state.count_res + accept.astype(jnp.int32)
 
-        return state._replace(
+        new_state = state._replace(
             buf=buf, prev_x=x, prev_u=u, have_prev=jnp.ones((), bool),
             count_pairs=state.count_pairs + 1, count_res=count_res, key=key)
+        if not self.continuous_updates:
+            return new_state
+
+        # rank-1 append while the reservoir is filling (prefix-active), full
+        # O(K^3) refresh once replacement begins; data snapshot tracks buf
+        def upd(s):
+            def append(s2):
+                cache = gp.cache_append(s2.params, s2.buf, s2.cache, slot)
+                return s2._replace(data=s2.buf, cache=cache)
+
+            def full(s2):
+                return s2._replace(data=s2.buf,
+                                   cache=gp.refresh_cache(s2.params, s2.buf))
+
+            return jax.lax.cond(state.count_res < cap, append, full, s)
+
+        return jax.lax.cond(accept, upd, lambda s: s, new_state)
 
     def fit_now(self, state: LearnedDynState) -> LearnedDynState:
         """Unconditional refit on the current reservoir + cache refresh."""

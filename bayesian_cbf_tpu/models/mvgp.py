@@ -252,6 +252,28 @@ class MVGP(NamedTuple):
         alpha = jax.scipy.linalg.cho_solve((L, True), Y)
         return MVGPCache(L=L, alpha=alpha)
 
+    def cache_append(self, params: MVGPParams, data: MVGPData,
+                     cache: MVGPCache, slot) -> MVGPCache:
+        """O(K^2) rank-1 Cholesky *append* update.
+
+        New capability vs the reference (BASELINE.md north star): the
+        reference can only incorporate data by a full refit
+        (clear_cache + O(k^3) re-factorization).  When active rows form a
+        prefix [0, slot) and row `slot` was just activated in `data`, the
+        masked Gram's factor is the block [[L_a, 0], [l21^T, l22], I...]
+        with l21 = L_a^{-1} c and l22 = sqrt(d - |l21|^2) — because
+        inactive rows are identity, the fixed-shape triangular solve
+        against the old L yields l21 directly."""
+        Kb = self.masked_kb(params, data)
+        c_full = Kb[slot, :] * (jnp.arange(Kb.shape[0]) < slot)
+        l21 = jax.scipy.linalg.solve_triangular(cache.L, c_full, lower=True)
+        d = Kb[slot, slot]
+        l22 = jnp.sqrt(jnp.maximum(d - jnp.sum(l21 * l21), self.jitter))
+        L = cache.L.at[slot, :].set(l21).at[slot, slot].set(l22)
+        Y = self.residual_Y(params, data)
+        alpha = jax.scipy.linalg.cho_solve((L, True), Y)
+        return MVGPCache(L=L, alpha=alpha)
+
     def _kb_star(self, params: MVGPParams, data: MVGPData, Xtest: jax.Array):
         """Cross-covariance block 𝔅(XU, x*): (b, K, 1+m), masked."""
         Kxs = self.k_xx(params, Xtest, data.X)                   # (b, K)
