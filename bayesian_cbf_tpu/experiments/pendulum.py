@@ -270,24 +270,32 @@ def speed_test_matrix_vector(max_train_list=(256, 320, 384, 512),
                              grid=21, ntimes=10, repeat=5,
                              training_iter=50, seed=0,
                              regressors=("matrix", "vector",
-                                         "matrixdiag", "vectordiag")):
+                                         "matrixdiag", "vectordiag"),
+                             data=None, Xtest=None, Ftrue=None,
+                             x_dim=2, u_dim=1):
     """The paper's central performance claim: MVGP O(k^3) vs CoGP O(k^3 n^3)
     posterior inference timing over a (grid x grid) test lattice
-    (pendulum.py:1305-1395).  Returns {regressor: {k: {...}}}."""
-    X, U, Xdot = sample_pendulum_data(numSteps=2048, seed=seed)
-    Xn = np.asarray(X)
-    th = np.linspace(Xn[:, 0].min(), Xn[:, 0].max(), grid)
-    om = np.linspace(Xn[:, 1].min(), Xn[:, 1].max(), grid)
-    Xtest = jnp.asarray(np.stack(np.meshgrid(th, om), -1).reshape(-1, 2))
+    (pendulum.py:1305-1395).  Returns {regressor: {k: {...}}}.
 
-    pend = PendulumDynamics()
-    Ftrue = jax.vmap(lambda x: pend.F_func(x).T.reshape(-1))(Xtest)
+    By default benchmarks on pendulum trajectory data; pass
+    (data=(X, U, Xdot), Xtest, Ftrue, x_dim, u_dim) for other systems —
+    e.g. the unicycle twin (unicycle_move_to_pose.py:2031-2151)."""
+    if data is None:
+        X, U, Xdot = sample_pendulum_data(numSteps=2048, seed=seed)
+        Xn = np.asarray(X)
+        th = np.linspace(Xn[:, 0].min(), Xn[:, 0].max(), grid)
+        om = np.linspace(Xn[:, 1].min(), Xn[:, 1].max(), grid)
+        Xtest = jnp.asarray(np.stack(np.meshgrid(th, om), -1).reshape(-1, 2))
+        pend = PendulumDynamics()
+        Ftrue = jax.vmap(lambda x: pend.F_func(x).T.reshape(-1))(Xtest)
+    else:
+        X, U, Xdot = data
 
     rng = np.random.default_rng(seed)
     results = {}
     for name in regressors:
         maker = _REGRESSORS[name]
-        gp = maker(2, 1)
+        gp = maker(x_dim, u_dim)
         results[name] = {}
         for k in max_train_list:
             idx = rng.permutation(X.shape[0])[:k]

@@ -129,6 +129,37 @@ def unicycle_no_learning_gets_stuck(**kw):
     return sim, _run(sim)
 
 
+def unicycle_speed_test(max_train_list=(64, 80, 96, 128), ntimes=10,
+                        repeat=5, training_iter=50, seed=0,
+                        regressors=("matrix", "vector", "matrixdiag",
+                                    "vectordiag"), numSteps=512, dt=0.01):
+    """Unicycle twin of the pendulum speed benchmark
+    (unicycle_speed_test_matrix_vector, unicycle_move_to_pose.py:2031-2151):
+    data from an Ackermann rollout under a CLF controller, test grid over
+    the visited states."""
+    import numpy as np
+    from .pendulum import speed_test_matrix_vector
+    sim = make_ackermann_tracking_sim(numSteps=numSteps, dt=dt,
+                                      enable_learning=False, true_L=1.0,
+                                      mean_L=1.0)
+    out = _run(sim, seed=seed)
+    X, U = out.X, out.U
+    Xdot = out.Xdot
+    Xn = np.asarray(X)
+    g = 11
+    xs = np.linspace(Xn[:, 0].min(), Xn[:, 0].max(), g)
+    ys = np.linspace(Xn[:, 1].min(), Xn[:, 1].max(), g)
+    th = np.linspace(Xn[:, 2].min(), Xn[:, 2].max(), 4)
+    grid = np.stack(np.meshgrid(xs, ys, th), -1).reshape(-1, 3)
+    Xtest = jnp.asarray(grid)
+    true_dyn = AckermannDrive(L=1.0)
+    Ftrue = jax.vmap(lambda x: true_dyn.F_func(x).T.reshape(-1))(Xtest)
+    return speed_test_matrix_vector(
+        max_train_list=max_train_list, ntimes=ntimes, repeat=repeat,
+        training_iter=training_iter, seed=seed, regressors=regressors,
+        data=(X, U, Xdot), Xtest=Xtest, Ftrue=Ftrue, x_dim=3, u_dim=2)
+
+
 def min_obstacle_clearance(sim: UnicycleSim, out):
     """min over time of the radial clearance to each obstacle (collision
     metric: negative => the trajectory entered an obstacle)."""

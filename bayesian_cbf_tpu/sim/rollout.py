@@ -65,6 +65,32 @@ def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
     return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info)
 
 
+def sample_generator_trajectory(dynamics, controller_fn, x0, numSteps, dt):
+    """Generic rollout: u = controller(x, t); x' = dynamics.step(x, u, dt)
+    -> (Xdot, X, U), the reference's sampling.py:49-75 contract, as one
+    jitted scan.  controller_fn must be pure (close over any state)."""
+    def step(x, t):
+        u = controller_fn(x, t)
+        x_next, xdot = dynamics.step(x, u, dt)
+        return x_next, (xdot, x, u)
+
+    _, (Xdot, X, U) = jax.lax.scan(step, jnp.asarray(x0),
+                                   jnp.arange(numSteps))
+    return Xdot, X, U
+
+
+def sample_generator_independent(dynamics, key, n, x_lo, x_hi, u_lo, u_hi):
+    """i.i.d. (x, u) -> xdot samples (sampling.py:78-90)."""
+    kx, ku = jax.random.split(key)
+    X = jax.random.uniform(kx, (n, len(x_lo)),
+                           minval=jnp.asarray(x_lo), maxval=jnp.asarray(x_hi))
+    U = jax.random.uniform(ku, (n, len(u_lo)),
+                           minval=jnp.asarray(u_lo), maxval=jnp.asarray(u_hi))
+    Xdot = jax.vmap(lambda x, u: dynamics.f_func(x) + dynamics.g_func(x) @ u)(
+        X, U)
+    return Xdot, X, U
+
+
 def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
     """Batched episodes as ONE scan-of-vmap (not vmap-of-scan).
 

