@@ -134,7 +134,8 @@ class CoGP(NamedTuple):
                                init_jitter=self.jitter)
         Kinv_y = jax.scipy.linalg.solve_triangular(L, y, lower=True)
         quad = jnp.sum(Kinv_y * Kinv_y)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        tiny = jnp.asarray(1e-20, L.dtype)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(jnp.diagonal(L), tiny)))
         cnt = jnp.sum(smask)
         ll = -0.5 * (quad + logdet + cnt * _SQRT2PI_LOG)
         return ll / jnp.maximum(cnt, 1.0)
@@ -147,10 +148,19 @@ class CoGP(NamedTuple):
         loss = lambda p: -self.mll(p, data)
 
         def step(carry, _):
-            p, s = carry
-            g = jax.grad(loss)(p)
-            u, s = opt.update(g, s, p)
-            return (optax.apply_updates(p, u), s), None
+            p, st = carry
+            lval, g = jax.value_and_grad(loss)(p)
+            u, st_new = opt.update(g, st, p)
+            p_new = jax.tree.map(lambda a: jnp.clip(a, -60.0, 60.0),
+                                 optax.apply_updates(p, u))
+            ok = jnp.isfinite(lval)
+            for leaf in jax.tree.leaves(g) + jax.tree.leaves(p_new):
+                ok = ok & jnp.all(jnp.isfinite(leaf))
+            p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), p_new, p)
+            st = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b) if hasattr(a, "dtype") else a,
+                st_new, st)
+            return (p, st), None
 
         (params, _), _ = jax.lax.scan(step, (params, opt.init(params)),
                                       None, length=training_iter)

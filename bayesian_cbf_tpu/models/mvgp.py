@@ -191,9 +191,11 @@ class MVGP(NamedTuple):
         KinvY = jax.scipy.linalg.solve_triangular(Lb, Y, lower=True)
         AinvYt = jax.scipy.linalg.solve_triangular(LA, KinvY.T, lower=True)
         quad = jnp.sum(AinvYt * AinvYt)
-        # masked rows contribute log(1) = 0 to logdet Kb
-        logdet_Kb = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
-        logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LA)))
+        # masked rows contribute log(1) = 0 to logdet Kb; the tiny-floor
+        # guards keep the f32 fast path NaN-free on marginal factorizations
+        tiny = jnp.asarray(1e-20, Lb.dtype)
+        logdet_Kb = 2.0 * jnp.sum(jnp.log(jnp.maximum(jnp.diagonal(Lb), tiny)))
+        logdet_A = 2.0 * jnp.sum(jnp.log(jnp.maximum(jnp.diagonal(LA), tiny)))
         ll = -0.5 * (quad + n * logdet_Kb + kcnt * logdet_A
                      + kcnt * n * _SQRT2PI_LOG)
         if self.gamma_prior is not None:
@@ -218,9 +220,19 @@ class MVGP(NamedTuple):
 
         def step(carry, _):
             p, opt_state = carry
-            g = jax.grad(loss)(p)
-            updates, opt_state = opt.update(g, opt_state, p)
-            p = optax.apply_updates(p, updates)
+            lval, g = jax.value_and_grad(loss)(p)
+            updates, opt_new = opt.update(g, opt_state, p)
+            p_new = optax.apply_updates(p, updates)
+            p_new = jax.tree.map(lambda a: jnp.clip(a, -60.0, 60.0), p_new)
+            # reject non-finite steps (the reference NaN-asserts and dies,
+            # control_affine_model.py:315-328; inside a scan we skip instead)
+            ok = jnp.isfinite(lval)
+            for leaf in jax.tree.leaves(g) + jax.tree.leaves(p_new):
+                ok = ok & jnp.all(jnp.isfinite(leaf))
+            p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), p_new, p)
+            opt_state = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b) if hasattr(a, "dtype") else a,
+                opt_new, opt_state)
             return (p, opt_state), None
 
         (params, _), _ = jax.lax.scan(step, (params, opt.init(params)),

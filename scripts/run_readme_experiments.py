@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# platform must be pinned before jax import
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +33,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from bayesian_cbf_tpu.experiments.unicycle import (
         unicycle_mean_cbf_collides_obstacle,
