@@ -113,6 +113,10 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
     sqrt_s = jnp.sqrt(jnp.maximum(s, 0.0))
 
     ncon = W.shape[0]
+    # a near-zero safety factor (max_risk -> 0.5, the "mean CBF" setting)
+    # degenerates the SOCs to half-spaces; emitting them as linear 1-dim
+    # cones keeps the NT scaling well-conditioned (f32 fast path)
+    mean_only = cfg.rho < 1e-3
     # cone norm part: rho * sqrt(s_c) * || LbT[:,1:] u + LbT[:,0] ||
     A_norm = jnp.zeros((ncon, m + 1, nvar), dtype)
     A_norm = A_norm.at[:, :, :m].set(
@@ -133,20 +137,33 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
     b_obj = jnp.concatenate([-wcost[:m] * uref, jnp.zeros((1,), dtype)])
     c_obj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
 
-    # assemble G, h: objective cone + C constraint cones (all dim m+2)
+    # assemble G, h: objective cone + C constraint cones
     G_rows = [jnp.concatenate([-c_obj[None, :], -A_obj], 0)]
     h_rows = [jnp.concatenate([jnp.zeros((1,), dtype), b_obj])]
+    dims = [m + 2]
     for ci in range(ncon):
-        G_rows.append(jnp.concatenate([-bfc[ci][None, :], -A_norm[ci]], 0))
-        h_rows.append(jnp.concatenate([jnp.reshape(d[ci], (1,)),
-                                       b_norm[ci]]))
+        if mean_only:
+            G_rows.append(-bfc[ci][None, :])
+            h_rows.append(jnp.reshape(d[ci], (1,)))
+            dims.append(1)
+        else:
+            G_rows.append(jnp.concatenate([-bfc[ci][None, :],
+                                           -A_norm[ci]], 0))
+            h_rows.append(jnp.concatenate([jnp.reshape(d[ci], (1,)),
+                                           b_norm[ci]]))
+            dims.append(m + 2)
     G = jnp.concatenate(G_rows, 0)
     h = jnp.concatenate(h_rows, 0)
-    dims = tuple([m + 2] * (1 + ncon))
+    dims = tuple(dims)
     cobj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
 
     sol = solve_socp(cobj, G, h, dims, iters=cfg.socp_iters)
-    feasible = (sol.pres < cfg.feas_tol) & jnp.all(jnp.isfinite(sol.x))
+    # dtype-aware feasibility gate: the f32 IPM plateaus near 1e-4 relative
+    # primal residual on well-posed problems; gating it at the f64 tolerance
+    # would spuriously reject ~half the steps
+    feas_tol = cfg.feas_tol if dtype == jnp.float64 else max(cfg.feas_tol,
+                                                             5e-3)
+    feasible = (sol.pres < feas_tol) & jnp.all(jnp.isfinite(sol.x))
     u_opt = jnp.where(feasible, sol.x[:m], jnp.broadcast_to(uref, (m,)))
 
     clc_mean = sgn[0] * (m_aff[0, 0] + const[0])   # at u = 0
@@ -241,7 +258,9 @@ def bayes_clf_control_gp(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
     cobj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
 
     sol = solve_socp(cobj, G, h, tuple(dims), iters=cfg.socp_iters)
-    feasible = (sol.pres < cfg.feas_tol) & jnp.all(jnp.isfinite(sol.x))
+    feas_tol = cfg.feas_tol if dtype == jnp.float64 else max(cfg.feas_tol,
+                                                             5e-3)
+    feasible = (sol.pres < feas_tol) & jnp.all(jnp.isfinite(sol.x))
     u_opt = jnp.where(feasible, sol.x[:m], jnp.broadcast_to(uref, (m,)))
     info = ControlInfo(
         rho=rho, relax=sol.x[m], pcost=sol.pcost, pres=sol.pres,

@@ -102,7 +102,8 @@ def learned_socp_control(cfg: LearnedSOCPControllerConfig,
     # in-graph infeasibility fallback: keep the reference control
     # (the reference raises InfeasibleProblemError and restores u_ref,
     # controllers.py:577-583 — raising is impossible inside lax.scan)
-    feasible = (sol.pres < 1e-4) & jnp.all(jnp.isfinite(sol.x))
+    feas_tol = 1e-4 if dtype == jnp.float64 else 5e-3
+    feasible = (sol.pres < feas_tol) & jnp.all(jnp.isfinite(sol.x))
     u = jnp.where(feasible, sol.x[:m], u_ref)
     info = dict(delta=sol.x[m], pres=sol.pres, dres=sol.dres,
                 feasible=feasible,
