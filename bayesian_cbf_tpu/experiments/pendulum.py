@@ -320,6 +320,39 @@ def speed_test_matrix_vector(max_train_list=(256, 320, 384, 512),
     return results
 
 
+def learn_dynamics_matrix_vector(max_train=120, training_iter=50,
+                                 n_test=128, tries=8, seed=0):
+    """MVGP-vs-CoGP learning-error comparison
+    (learn_dynamics_matrix_vector, pendulum.py:1091-1303; reference result:
+    matrix 0.659 vs vector 3.436, BASELINE.md).  Returns
+    {"matrix": err, "vector": err} — median variance-weighted error over
+    `tries` random test subsets of a held-out trajectory."""
+    X, U, Xdot = sample_pendulum_data(numSteps=2048, seed=seed)
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(X.shape[0])
+    tr, te = idx[:max_train], idx[max_train:]
+    pend = PendulumDynamics()
+
+    out = {}
+    for name in ("matrix", "vector"):
+        gp = _REGRESSORS[name](2, 1)
+        params = gp.init_params(jax.random.PRNGKey(seed))
+        data = gp.make_data(X[tr], U[tr], Xdot[tr])
+        params = jax.jit(lambda p, d: gp.fit(
+            p, d, training_iter=training_iter))(params, data)
+        cache = gp.refresh_cache(params, data)
+        errs = []
+        for _ in range(tries):
+            sub = rng.choice(te, size=n_test, replace=False)
+            Xtest = jnp.asarray(X[sub])
+            Ftrue = jax.vmap(lambda x: pend.F_func(x).T.reshape(-1))(Xtest)
+            mean, var = gp.predict_fullmat(params, data, cache, Xtest)
+            errs.append(float(variance_weighted_error(
+                mean, _block_diag_vars(var, n_test), Ftrue)))
+        out[name] = float(np.median(errs))
+    return out
+
+
 def _block_diag_vars(var_full, b):
     """Extract per-test-point (D, D) diagonal blocks from the full
     (bD, bD) covariance."""

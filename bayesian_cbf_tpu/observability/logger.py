@@ -97,6 +97,29 @@ def load_metrics(path):
     return grouped
 
 
+def replay_run(run_dir, savefile=None):
+    """Reconstruct the trajectory figure from a logged run — the analogue
+    of playback_logfile (unicycle_move_to_pose.py:1421-1452), which rebuilds
+    the animation from the event files + config.json."""
+    import json as _json
+    import numpy as np
+    grouped = load_metrics(run_dir)
+    X = np.asarray([v for _, v in sorted(grouped["vis/state"])])
+    cfg = {}
+    cfg_path = osp.join(run_dir, "config.json")
+    if osp.exists(cfg_path):
+        cfg = _json.load(open(cfg_path))
+
+    class _Out:
+        pass
+
+    out = _Out()
+    out.X = X
+    from .plotting import plot_unicycle_run
+    return plot_unicycle_run(out, title=cfg.get("name", "replay"),
+                             savefile=savefile)
+
+
 # -- checkpointing -----------------------------------------------------------
 
 def save_checkpoint(path: str, pytree) -> None:

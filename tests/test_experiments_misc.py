@@ -1,0 +1,79 @@
+"""move_to_pose demos, car experiments, replay, learn_dynamics comparison."""
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_cbf_tpu.experiments.move_to_pose import (
+    move_to_pose_clf_cartesian, move_to_pose_clf_polar, move_to_pose_pid,
+    track_trajectory_clf_cartesian)
+from bayesian_cbf_tpu.experiments.car import (
+    car_learn_dynamics, run_car_control_ground_truth, min_car_clearance,
+    sample_car_data)
+
+X0 = (-2.0, -0.5, -math.pi / 4)
+XG = (0.0, 0.0, math.pi / 4)
+
+
+def test_move_to_pose_clf_cartesian_converges():
+    X, U, pres = move_to_pose_clf_cartesian(X0, XG, numSteps=300, dt=0.02)
+    assert bool(jnp.all(jnp.isfinite(X)))
+    d0 = np.linalg.norm(np.asarray(X[0][:2]) - np.asarray(XG[:2]))
+    d1 = np.linalg.norm(np.asarray(X[-1][:2]) - np.asarray(XG[:2]))
+    assert d1 < 0.5 * d0
+
+
+def test_track_trajectory_clf_cartesian():
+    X, U, pres = track_trajectory_clf_cartesian(X0, XG, numSteps=200,
+                                                dt=0.02)
+    assert bool(jnp.all(jnp.isfinite(X)))
+    d1 = np.linalg.norm(np.asarray(X[-1][:2]) - np.asarray(XG[:2]))
+    assert d1 < 1.5
+
+
+def test_move_to_pose_pid():
+    X, U = move_to_pose_pid(X0, XG, numSteps=500, dt=0.01)
+    d1 = np.linalg.norm(np.asarray(X[-1][:2]) - np.asarray(XG[:2]))
+    assert d1 < 0.3
+
+
+def test_move_to_pose_polar_runs():
+    X, U, pres = move_to_pose_clf_polar(X0, XG, numSteps=100, dt=0.01)
+    assert bool(jnp.all(jnp.isfinite(X)))
+
+
+def test_car_sample_and_learn():
+    X, U, Xdot = sample_car_data(jax.random.PRNGKey(0), numSteps=60)
+    assert X.shape == (60, 6)
+    gp, params, data, cache, rmse = car_learn_dynamics(max_train=24,
+                                                       training_iter=8)
+    assert np.isfinite(rmse)
+    assert rmse < 5.0
+
+
+def test_car_ground_truth_control_safe():
+    cbcs, X, U, pres = run_car_control_ground_truth(numSteps=150, dt=0.02)
+    assert bool(jnp.all(jnp.isfinite(X)))
+    clear = min_car_clearance(cbcs, X)
+    assert float(clear.min()) > -0.05
+
+
+def test_replay_roundtrip(tmp_path):
+    from bayesian_cbf_tpu.observability.logger import (MetricsLogger,
+                                                       replay_run)
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        make_ackermann_tracking_sim, STATE_START)
+    from bayesian_cbf_tpu.sim.rollout import simulate_unicycle
+    sim = make_ackermann_tracking_sim(numSteps=10, dt=0.01, max_train=8,
+                                      training_iter=2,
+                                      train_every_n_steps=5, socp_iters=10)
+    out = simulate_unicycle(sim, STATE_START)
+    log = MetricsLogger(runs_dir=str(tmp_path), exp_tags=["replay"],
+                        config={"name": "replay-test"})
+    log.log_rollout(out)
+    log.close()
+    ax = replay_run(log.dir, savefile=str(tmp_path / "replay.png"))
+    assert os.path.exists(str(tmp_path / "replay.png"))
