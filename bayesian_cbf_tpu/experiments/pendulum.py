@@ -360,5 +360,7 @@ def _block_diag_vars(var_full, b):
     blocks = var_full.reshape(b, D, b, D)
     idx = jnp.arange(b)
     out = blocks[idx, :, idx, :]
-    # regularize for the weighted-error solve
-    return out + 1e-9 * jnp.eye(D, dtype=var_full.dtype)[None]
+    # regularize for the weighted-error solve (dtype-aware: f32 posteriors
+    # have ~1e-6 noise floor on near-collapsed variances)
+    jit = 1e-9 if var_full.dtype == jnp.float64 else 1e-4
+    return out + jit * jnp.eye(D, dtype=var_full.dtype)[None]
