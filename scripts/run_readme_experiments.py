@@ -15,11 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# platform must be pinned before jax import
-if "--cpu" in sys.argv:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-
 import jax
+if "--cpu" in sys.argv:
+    # env vars are too late on this host (sitecustomize pre-imports jax)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 

@@ -11,10 +11,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-if "--cpu" in sys.argv:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-
 import jax
+if "--cpu" in sys.argv:
+    # env vars are too late on this host (sitecustomize pre-imports jax)
+    jax.config.update("jax_platforms", "cpu")
 
 REFERENCE = {  # docs/saved-runs/speed_test_matrix_vector_v1.6.1 (BASELINE.md)
     256: {"matrix": 0.0436},

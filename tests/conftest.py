@@ -1,11 +1,13 @@
 """Test configuration: CPU backend with 8 virtual devices so that the
 multi-chip sharding paths (mesh/pjit/shard_map) are exercised without TPU
-hardware, and float64 enabled for reference-parity numerics."""
+hardware, and float64 enabled for reference-parity numerics.
+
+IMPORTANT (this host): the axon sitecustomize imports jax at interpreter
+start, so JAX_PLATFORMS set via os.environ here is too late — the platform
+must be forced through jax.config.  XLA_FLAGS is still read at backend
+init, so the virtual device count works from the environment."""
 import os
 
-# force CPU: the shell exports JAX_PLATFORMS=axon (TPU tunnel) which would
-# route every test compile through the remote TPU compiler
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: XLA-CPU compiles cost ~1s/op on this host;
 # caching them across pytest runs keeps the suite fast.
