@@ -57,6 +57,11 @@ class BayesCLFControllerConfig(NamedTuple):
     cbf_gammas: Tuple[float, ...] = ()
     socp_iters: int = 25
     feas_tol: float = 1e-4
+    # warm-started IPM across the rollout scan: carry the previous step's
+    # (x, s, z) and run fewer Mehrotra iterations (the problem data moves
+    # by O(dt) per step).  Enabled by the rollout layer when warm_start.
+    warm_start: bool = False
+    socp_iters_warm: int = 10
 
     @property
     def rho(self) -> float:
@@ -77,12 +82,30 @@ class ControlInfo(NamedTuple):
     cbc_vars: jax.Array
 
 
+def warm_cone_count(cfg: BayesCLFControllerConfig, n_cbfs: int) -> int:
+    """Number of cones in the bayes_clf_control SOCP (objective + CLC +
+    CBCs) — the leading dim of the warm-start slack/dual blocks."""
+    return 2 + n_cbfs
+
+
+def warm_init(cfg: BayesCLFControllerConfig, n_cbfs: int, dtype):
+    """Cold (x, S, Z) warm-start state for the first step of a scan;
+    identical to the solver's own cold start."""
+    nvar = cfg.u_dim + 2
+    C = warm_cone_count(cfg, n_cbfs)
+    dmax = cfg.u_dim + 2
+    e = jnp.zeros((C, dmax), dtype).at[:, 0].set(1.0)
+    return (jnp.zeros((nvar,), dtype), e, e)
+
+
 def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
-                      moments_fn, x, t):
+                      moments_fn, x, t, warm=None):
     """One control step via closed-form cones.
 
     moments_fn: x -> (FT (n, 1+m), Bk (1+m, 1+m), A (n, n)) posterior
-    moments of the learned dynamics.  Returns (u_opt, ControlInfo)."""
+    moments of the learned dynamics.  Returns (u_opt, ControlInfo); with
+    `warm` (previous step's (x, s, z)) returns (u_opt, ControlInfo,
+    warm_next) and runs the reduced cfg.socp_iters_warm iteration count."""
     m = cfg.u_dim
     dtype = x.dtype
     state_goal = planner.plan(t)
@@ -157,7 +180,8 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
     dims = tuple(dims)
     cobj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
 
-    sol = solve_socp(cobj, G, h, dims, iters=cfg.socp_iters)
+    iters = cfg.socp_iters if warm is None else cfg.socp_iters_warm
+    sol = solve_socp(cobj, G, h, dims, iters=iters, warm=warm)
     # dtype-aware feasibility gate: the f32 IPM plateaus near 1e-4 relative
     # primal residual on well-posed problems; gating it at the f64 tolerance
     # would spuriously reject ~half the steps
@@ -174,7 +198,9 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
         clc_mean=clc_mean, clc_var=clc_var,
         cbc_means=(m_aff[1:, 0] + const[1:]),
         cbc_vars=(s[1:] * Bk[0, 0]))
-    return u_opt, info
+    if warm is None:
+        return u_opt, info
+    return u_opt, info, (sol.x, sol.s, sol.z)
 
 
 # ---------------------------------------------------------------------------

@@ -58,8 +58,16 @@ def trigger_sweep_for_rollout(sim, outs, rollout_idx: int = 0,
                               A=None, B=None):
     """Self-triggered interval tau along one episode of a batch
     (trigger_interval.py:86-177 — there driven from tensorboard replays;
-    here directly from rollout arrays).  Kernel hyperparameters default to
-    the prior values when not given."""
+    here directly from rollout arrays).
+
+    Kernel hyperparameters come, in order of preference, from (a) the
+    explicit arguments, (b) the rollout's per-step `knl` channels (the
+    fitted values the reference logs at unicycle_move_to_pose.py:970-992),
+    or (c) identity/unit priors — (c) emits a loud warning because the
+    resulting tau is NOT the paper's learning-run analysis."""
+    import warnings
+
+    sel = lambda a: a[rollout_idx][::stride]
     X = outs.X[rollout_idx][::stride]
     U = outs.U[rollout_idx][::stride]
     Xdot = outs.Xdot[rollout_idx][::stride]
@@ -67,6 +75,18 @@ def trigger_sweep_for_rollout(sim, outs, rollout_idx: int = 0,
     n = X.shape[-1]
     mh = U.shape[-1] + 1
     dt = X.dtype
+    knl = getattr(outs, "knl", None)
+    if knl is not None and lengthscale is None:
+        lengthscale = sel(knl.lengthscale)
+        # trigger._rbf uses sf^2 * exp(.); MVGP outputscale IS the variance
+        outputscale = jnp.sqrt(sel(knl.outputscale))
+        A = sel(knl.A)
+        B = sel(knl.B)
+    if lengthscale is None:
+        warnings.warn(
+            "trigger_sweep_for_rollout: no kernel channels on the rollout "
+            "and none passed — falling back to identity-prior "
+            "hyperparameters; tau will not reflect a learned model.")
     ls = jnp.ones((T, n), dt) if lengthscale is None else lengthscale
     sf = jnp.ones((T,), dt) if outputscale is None else outputscale
     A_ = (jnp.tile(jnp.eye(n, dtype=dt)[None], (T, 1, 1))
@@ -79,3 +99,47 @@ def trigger_sweep_for_rollout(sim, outs, rollout_idx: int = 0,
         for cbf in sim.cbfs]))
     return trigger_intervals(X, Xdot, U, sf, ls, A_, B_, gmax,
                              jax.random.PRNGKey(seed))
+
+
+def trigger_analysis_learning_run(stride: int = 10, seed: int = 0,
+                                  **exp_kw):
+    """The paper's self-triggered-control analysis over the REAL flagship
+    learning run: run unicycle_learning_helps_avoid_getting_stuck, feed the
+    per-step fitted kernel hyperparameters (logged by the rollout as `knl`
+    channels) into the Eq.-11 Lipschitz/tau math, and return the tau and
+    Lfh distributions (reference: trigger_interval.py:86-177 consuming the
+    vis/knl_* tensorboard channels; BASELINE.md tau in [2.05e-4, 1.2e-3]).
+
+    Returns (sim, outs, dict with tau/Lfh arrays and summary stats)."""
+    from .unicycle import unicycle_learning_helps_avoid_getting_stuck
+
+    sim, outs = unicycle_learning_helps_avoid_getting_stuck(**exp_kw)
+
+    class _Batch1:
+        """View a single rollout as a batch of one for the sweep."""
+        def __init__(self, o):
+            self.X = o.X[None]
+            self.U = o.U[None]
+            self.Xdot = o.Xdot[None]
+            self.knl = jax.tree.map(lambda a: a[None], o.knl)
+
+    tau, tau_num, Lfh, Lfh_num, xvel = trigger_sweep_for_rollout(
+        sim, _Batch1(outs), rollout_idx=0, stride=stride, seed=seed)
+    import numpy as np
+    t = np.asarray(tau)
+    L = np.asarray(Lfh)
+    # steps where the vehicle is essentially stationary give tau -> inf;
+    # the reference only logs steps with |xdot| > 0 (200 logged steps)
+    moving = np.asarray(xvel) > 1e-8
+    stats = {
+        "tau": t, "tau_num": np.asarray(tau_num),
+        "Lfh": L, "Lfh_num": np.asarray(Lfh_num),
+        "moving": moving,
+        "tau_min": float(np.min(t[moving])),
+        "tau_median": float(np.median(t[moving])),
+        "tau_max": float(np.max(t[moving])),
+        "Lfh_min": float(np.min(L[moving])),
+        "Lfh_median": float(np.median(L[moving])),
+        "Lfh_max": float(np.max(L[moving])),
+    }
+    return sim, outs, stats

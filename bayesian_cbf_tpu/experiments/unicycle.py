@@ -48,7 +48,9 @@ def make_ackermann_tracking_sim(
         cbf_gammas=(5.0, 5.0),
         Kp=(0.9, 1.5, 0.0),
         frac_time_to_reach_goal: float = 0.95,
-        socp_iters: int = 25) -> UnicycleSim:
+        socp_iters: int = 25,
+        warm_start: bool = False,
+        socp_iters_warm: int = 10) -> UnicycleSim:
     """track_trajectory_ackerman_clf_bayesian equivalent
     (unicycle_move_to_pose.py:1689-1734)."""
     x0 = jnp.asarray(x0)
@@ -67,7 +69,8 @@ def make_ackermann_tracking_sim(
     controller = BayesCLFControllerConfig(
         u_dim=2, clf_gamma=10.0, cost_weights=(0.33, 0.33, 0.33),
         ctrl_ref=(0.0, 0.0), max_risk=max_risk, cbf_gammas=cbf_gammas,
-        socp_iters=socp_iters)
+        socp_iters=socp_iters, warm_start=warm_start,
+        socp_iters_warm=socp_iters_warm)
     return UnicycleSim(
         true_dynamics=AckermannDrive(L=true_L),
         learned_dynamics=learned, controller=controller,

@@ -207,6 +207,19 @@ class LearnedDynState(NamedTuple):
     key: jax.Array
 
 
+class KernelChannels(NamedTuple):
+    """Per-step kernel-hyperparameter observability record — the channel
+    set the reference's flagship logs every step for the self-triggered
+    interval analysis (vis/knl_lengthscale, knl_A, knl_B, Fx_var, Fxu_var;
+    unicycle_move_to_pose.py:970-992)."""
+    lengthscale: jax.Array   # (n,) ARD RBF lengthscales
+    outputscale: jax.Array   # () kernel variance (sf^2)
+    A: jax.Array             # (n, n) task row-covariance factor
+    B: jax.Array             # (1+m, 1+m) task column-covariance factor
+    Fx_var: jax.Array        # () tr var f(x) = Bk[0,0] * tr A
+    Fxu_var: jax.Array       # () tr var F(x)u_hom at the applied control
+
+
 class LearnedShiftInvariantDynamics(NamedTuple):
     """mean dynamics + learned MVGP residual with translation invariance
     (x, y zeroed before entering the kernel: unicycle_move_to_pose.py:326-330).
@@ -298,6 +311,30 @@ class LearnedShiftInvariantDynamics(NamedTuple):
               + self.gp.fT_post(state.params, state.data, state.cache, xs))
         Bk = self.gp.Bk_single(state.params, state.data, state.cache, xs, xs)
         return FT, Bk, state.params.A
+
+    def kernel_channels(self, state: LearnedDynState, moments, u
+                        ) -> KernelChannels:
+        """Per-step hyperparameter/variance record for the trigger-interval
+        pipeline (reference logs these to tensorboard every step,
+        unicycle_move_to_pose.py:970-992).  `moments` is the (FT, Bk, A)
+        triple already computed for the controller this step — no extra
+        posterior evaluation."""
+        _, Bk, A = moments
+        uh = jnp.concatenate([jnp.ones((1,), u.dtype), u])
+        if self.enable_learning:
+            p = state.params
+            ls, os_ = p.lengthscale, p.outputscale
+            B = p.B
+        else:
+            n = self.gp.x_dim
+            dt_ = A.dtype
+            ls = jnp.ones((n,), dt_)
+            os_ = jnp.ones((), dt_)
+            B = jnp.eye(1 + self.gp.u_dim, dtype=dt_)
+        return KernelChannels(
+            lengthscale=ls, outputscale=os_, A=A, B=B,
+            Fx_var=Bk[0, 0] * jnp.trace(A),
+            Fxu_var=(uh @ Bk @ uh) * jnp.trace(A))
 
     def f_gp_and_fu_gp(self, state: LearnedDynState, u):
         """(f_gp, fu_gp) leaves with their cross-covariance registered —

@@ -10,7 +10,9 @@ which double as the experiment checkpoint (SURVEY.md 5.4-5.5).  Here:
     arrays (MVGP params, buffers, learner state) to .npz — the analogue of
     the reference's state_dict/torch.save protocol
     (control_affine_model.py:201-218,862-874);
-  * optional tensorboard export if the `tensorboard` package is present.
+  * `replay_run(..., animate=True)` re-renders a logged run to an
+    animation from metrics.jsonl + config.json — playback_logfile parity
+    (unicycle_move_to_pose.py:1421-1452).
 """
 from __future__ import annotations
 
@@ -50,9 +52,15 @@ class MetricsLogger:
             self.dump_config(config)
 
     def dump_config(self, config: Dict[str, Any]):
-        with open(osp.join(self.dir, "config.json"), "w") as f:
-            json.dump(jax.tree.map(_to_host, config), f, indent=1,
-                      skipkeys=True, default=str)
+        """Write (or merge into) the run's config.json."""
+        path = osp.join(self.dir, "config.json")
+        merged = {}
+        if osp.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged.update(jax.tree.map(_to_host, config))
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, skipkeys=True, default=str)
 
     def add_scalar(self, tag, value, step):
         self._fh.write(json.dumps(
@@ -61,23 +69,53 @@ class MetricsLogger:
     def add_tensor(self, tag, value, step):
         self.add_scalar(tag, value, step)
 
-    def log_rollout(self, outs, every: int = 1):
+    def log_rollout(self, outs, every: int = 1, sim=None):
         """Dump a RolloutOutputs pytree as per-step records (the reference's
-        Logger.setStateCtrl channel set, unicycle_move_to_pose.py:1288-1311)."""
+        Logger.setStateCtrl channel set, unicycle_move_to_pose.py:1288-1311,
+        plus the vis/knl_* hyperparameter channels of :970-992).
+
+        With `sim`, the experiment geometry (obstacles, goal, dt) and the
+        per-step plan are logged too so `replay_run(animate=True)` can
+        re-render the full scene from the log alone."""
         X = np.asarray(outs.X)
         U = np.asarray(outs.U)
         for t in range(0, X.shape[0], every):
             self.add_tensor("vis/state", X[t], t)
             self.add_tensor("vis/uopt", U[t], t)
         info = outs.info
-        for tag, arr in [("opt/rho", info.rho), ("opt/relax", info.relax),
-                         ("opt/value", info.pcost),
-                         ("opt/feasible", info.feasible),
-                         ("vis/clc_mean", info.clc_mean),
-                         ("vis/cbc_mean", info.cbc_means)]:
+        chans = [("opt/rho", info.rho), ("opt/relax", info.relax),
+                 ("opt/value", info.pcost),
+                 ("opt/feasible", info.feasible),
+                 ("vis/clc_mean", info.clc_mean),
+                 ("vis/cbc_mean", info.cbc_means),
+                 ("vis/cbc_var", info.cbc_vars)]
+        knl = getattr(outs, "knl", None)
+        if knl is not None:
+            chans += [("vis/knl_lengthscale", knl.lengthscale),
+                      ("vis/knl_scalefactor", knl.outputscale),
+                      ("vis/knl_A", knl.A), ("vis/knl_B", knl.B),
+                      ("vis/Fx_var", knl.Fx_var),
+                      ("vis/Fxu_var", knl.Fxu_var)]
+        for tag, arr in chans:
             a = np.asarray(arr)
             for t in range(0, a.shape[0], every):
                 self.add_tensor(tag, a[t], t)
+        if sim is not None:
+            import jax.numpy as jnp
+            geom = {
+                "obstacles": [{"center": np.asarray(c.center).tolist(),
+                               "radius": float(c.radius)}
+                              for c in sim.cbfs],
+                "dt": float(sim.dt), "numSteps": int(sim.numSteps),
+            }
+            planner = getattr(sim, "planner", None)
+            if planner is not None:
+                plan = np.asarray(jax.vmap(planner.plan)(
+                    jnp.arange(X.shape[0])))
+                geom["goal"] = plan[-1].tolist()
+                for t in range(0, X.shape[0], every):
+                    self.add_tensor("vis/plan_x", plan[t], t)
+            self.dump_config(geom)
         self._fh.flush()
 
     def close(self):
@@ -97,27 +135,100 @@ def load_metrics(path):
     return grouped
 
 
-def replay_run(run_dir, savefile=None):
-    """Reconstruct the trajectory figure from a logged run — the analogue
-    of playback_logfile (unicycle_move_to_pose.py:1421-1452), which rebuilds
-    the animation from the event files + config.json."""
-    import json as _json
-    import numpy as np
+def replay_run(run_dir, savefile=None, animate=False, fps=25,
+               frame_stride=4):
+    """Reconstruct a logged run — the analogue of playback_logfile
+    (unicycle_move_to_pose.py:1421-1452), which rebuilds the animation from
+    the event files + config.json.
+
+    animate=False: static trajectory PNG (returns the axis).
+    animate=True : re-render the run as an animation (trajectory trace,
+    vehicle pose, obstacles, plan target, Fx-variance halo) and save it to
+    `savefile` (.gif via pillow; .mp4 if an ffmpeg writer is available).
+    Returns the output path."""
     grouped = load_metrics(run_dir)
     X = np.asarray([v for _, v in sorted(grouped["vis/state"])])
     cfg = {}
     cfg_path = osp.join(run_dir, "config.json")
     if osp.exists(cfg_path):
-        cfg = _json.load(open(cfg_path))
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    obstacles = cfg.get("obstacles", [])
+    goal = cfg.get("goal")
+    plan = (np.asarray([v for _, v in sorted(grouped["vis/plan_x"])])
+            if "vis/plan_x" in grouped else None)
+    fx_var = (np.asarray([v for _, v in sorted(grouped["vis/Fx_var"])])
+              if "vis/Fx_var" in grouped else None)
 
-    class _Out:
-        pass
+    if not animate:
+        class _Out:
+            pass
 
-    out = _Out()
-    out.X = X
-    from .plotting import plot_unicycle_run
-    return plot_unicycle_run(out, title=cfg.get("name", "replay"),
-                             savefile=savefile)
+        out = _Out()
+        out.X = X
+        from .plotting import plot_unicycle_run
+
+        class _Circ:
+            def __init__(self, c, r):
+                self.center = np.asarray(c)
+                self.radius = r
+
+        cbfs = [_Circ(o["center"], o["radius"]) for o in obstacles]
+        return plot_unicycle_run(out, cbfs=cbfs, x_goal=goal,
+                                 title=cfg.get("name", "replay"),
+                                 savefile=savefile)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    fig, ax = plt.subplots(figsize=(4.5, 4.5))
+    for o in obstacles:
+        ax.add_patch(plt.Circle(o["center"], o["radius"], color="k",
+                                alpha=0.3))
+    if goal is not None:
+        ax.plot(goal[0], goal[1], "r*", ms=12)
+    pad = 0.5
+    ax.set_xlim(X[:, 0].min() - pad, X[:, 0].max() + pad)
+    ax.set_ylim(X[:, 1].min() - pad, X[:, 1].max() + pad)
+    ax.set_aspect("equal")
+    trace, = ax.plot([], [], "b-", lw=1.2)
+    body, = ax.plot([], [], "bo", ms=5)
+    heading, = ax.plot([], [], "b-", lw=2)
+    plan_pt, = ax.plot([], [], "g+", ms=9)
+    halo = plt.Circle((0, 0), 0.0, color="c", alpha=0.25)
+    ax.add_patch(halo)
+    title = ax.set_title("")
+
+    frames = range(1, X.shape[0], frame_stride)
+
+    def draw(t):
+        trace.set_data(X[:t, 0], X[:t, 1])
+        body.set_data([X[t - 1, 0]], [X[t - 1, 1]])
+        th = X[t - 1, 2]
+        L = 0.25
+        heading.set_data([X[t - 1, 0], X[t - 1, 0] + L * np.cos(th)],
+                         [X[t - 1, 1], X[t - 1, 1] + L * np.sin(th)])
+        if plan is not None and t - 1 < plan.shape[0]:
+            plan_pt.set_data([plan[t - 1, 0]], [plan[t - 1, 1]])
+        if fx_var is not None and t - 1 < fx_var.shape[0]:
+            halo.center = (X[t - 1, 0], X[t - 1, 1])
+            halo.radius = float(np.sqrt(max(fx_var[t - 1], 0.0)) * 0.05)
+        title.set_text("step %d" % (t - 1))
+        return trace, body, heading, plan_pt, halo
+
+    ani = animation.FuncAnimation(fig, draw, frames=frames, blit=False)
+    if savefile is None:
+        savefile = osp.join(run_dir, "animation.gif")
+    if savefile.endswith(".mp4") and animation.writers.is_available("ffmpeg"):
+        ani.save(savefile, writer="ffmpeg", fps=fps)
+    else:
+        if savefile.endswith(".mp4"):
+            savefile = savefile[:-4] + ".gif"
+        ani.save(savefile, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return savefile
 
 
 # -- checkpointing -----------------------------------------------------------

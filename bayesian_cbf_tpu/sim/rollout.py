@@ -15,8 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from ..control.bayes_controller import (BayesCLFControllerConfig,
-                                        ControlInfo, bayes_clf_control)
-from ..models.dynamics import LearnedDynState, LearnedShiftInvariantDynamics
+                                        ControlInfo, bayes_clf_control,
+                                        warm_init)
+from ..models.dynamics import (KernelChannels, LearnedDynState,
+                               LearnedShiftInvariantDynamics)
 
 
 class RolloutOutputs(NamedTuple):
@@ -24,6 +26,10 @@ class RolloutOutputs(NamedTuple):
     U: jax.Array           # (T, m) applied controls
     Xdot: jax.Array        # (T, n)
     info: ControlInfo      # stacked per-step controller diagnostics
+    # per-step kernel hyperparameters + posterior variances (the reference's
+    # vis/knl_* channels, unicycle_move_to_pose.py:970-992); feeds the
+    # self-triggered-interval analysis. None for generic rollouts.
+    knl: Optional[KernelChannels] = None
 
 
 class UnicycleSim(NamedTuple):
@@ -40,29 +46,53 @@ class UnicycleSim(NamedTuple):
     numSteps: int
 
     def init_state(self, x0, key):
-        dyn_state = self.learned_dynamics.init_state(
-            key, dtype=jnp.asarray(x0).dtype)
+        dtype = jnp.asarray(x0).dtype
+        dyn_state = self.learned_dynamics.init_state(key, dtype=dtype)
+        if self.controller.warm_start:
+            return (jnp.asarray(x0), dyn_state,
+                    self._warm0(jnp.asarray(x0), dyn_state))
         return jnp.asarray(x0), dyn_state
 
-    def step(self, carry, t):
-        """One control step: plan -> cones -> SOCP -> record/learn -> Euler."""
-        x, dyn_state = carry
+    def _warm0(self, x0, dyn_state):
+        """Seed the IPM warm-start state by solving step 0 once at the full
+        (cold) iteration count; the in-scan solves then always start from a
+        near-optimal previous solution and can run cfg.socp_iters_warm."""
+        cfg_full = self.controller._replace(
+            socp_iters_warm=self.controller.socp_iters)
         moments_fn = lambda xx: self.learned_dynamics.moments(dyn_state, xx)
-        u, info = bayes_clf_control(self.controller, self.clf, self.cbfs,
-                                    self.planner, moments_fn, x, t)
+        w0 = warm_init(self.controller, len(self.cbfs), x0.dtype)
+        _, _, w0 = bayes_clf_control(cfg_full, self.clf, self.cbfs,
+                                     self.planner, moments_fn, x0,
+                                     jnp.asarray(0), warm=w0)
+        return w0
+
+    def step(self, carry, t):
+        """One control step: plan -> cones -> SOCP -> record/learn -> Euler.
+
+        The carry optionally ends with the IPM warm-start state (previous
+        step's (x, s, z)) when controller.warm_start is set."""
+        warm = carry[2] if len(carry) == 3 else None
+        x, dyn_state = carry[0], carry[1]
+        mom = self.learned_dynamics.moments(dyn_state, x)
+        out = bayes_clf_control(self.controller, self.clf, self.cbfs,
+                                self.planner, lambda _: mom, x, t, warm=warm)
+        u, info = out[0], out[1]
+        knl = self.learned_dynamics.kernel_channels(dyn_state, mom, u)
         # online learning: record (x, u) and refit on schedule
         # (reference calls dynamics.train(x, uopt) inside control(),
         #  unicycle_move_to_pose.py:993-994)
         dyn_state = self.learned_dynamics.observe(dyn_state, x, u)
         x_next, xdot = self.true_dynamics.step(x, u, self.dt)
-        return (x_next, dyn_state), (x, u, xdot, info)
+        if warm is None:
+            return (x_next, dyn_state), (x, u, xdot, info, knl)
+        return (x_next, dyn_state, out[2]), (x, u, xdot, info, knl)
 
 
 def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
     carry = sim.init_state(x0, key)
-    carry, (X, U, Xdot, info) = jax.lax.scan(
+    carry, (X, U, Xdot, info, knl) = jax.lax.scan(
         sim.step, carry, jnp.arange(sim.numSteps))
-    return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info)
+    return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
 
 
 def sample_generator_trajectory(dynamics, controller_fn, x0, numSteps, dt):
@@ -103,32 +133,45 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
     B = x0s.shape[0]
     init_states = jax.vmap(
         lambda k: sim.learned_dynamics.init_state(k, dtype=x0s.dtype))(keys)
+    warm_on = sim.controller.warm_start
+    if warm_on:
+        init_warms = jax.vmap(sim._warm0)(x0s, init_states)
+    else:
+        w0 = warm_init(sim.controller, len(sim.cbfs), x0s.dtype)
+        init_warms = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), w0)
 
     def step(carry, t):
-        X, states = carry
+        X, states, warms = carry
 
-        def one(x, st):
-            moments_fn = lambda xx: sim.learned_dynamics.moments(st, xx)
-            u, info = bayes_clf_control(sim.controller, sim.clf, sim.cbfs,
-                                        sim.planner, moments_fn, x, t)
+        def one(x, st, w):
+            mom = sim.learned_dynamics.moments(st, x)
+            out = bayes_clf_control(sim.controller, sim.clf, sim.cbfs,
+                                    sim.planner, lambda _: mom, x, t,
+                                    warm=(w if warm_on else None))
+            u, info = out[0], out[1]
+            w = out[2] if warm_on else w
+            knl = sim.learned_dynamics.kernel_channels(st, mom, u)
             st = sim.learned_dynamics.record(st, x, u)
             x_next, xdot = sim.true_dynamics.step(x, u, sim.dt)
-            return x_next, u, xdot, info, st
+            return x_next, u, xdot, info, st, w, knl
 
-        X_next, U, Xdot, info, states = jax.vmap(one)(X, states)
+        X_next, U, Xdot, info, states, warms, knl = jax.vmap(one)(
+            X, states, warms)
         states = jax.lax.cond(
             sim.learned_dynamics.should_fit_at(t),
             jax.vmap(sim.learned_dynamics.fit_now),
             lambda s: s, states)
-        return (X_next, states), (X, U, Xdot, info)
+        return (X_next, states, warms), (X, U, Xdot, info, knl)
 
-    carry = (x0s, init_states)
-    _, (X, U, Xdot, info) = jax.lax.scan(step, carry,
-                                         jnp.arange(sim.numSteps))
+    carry = (x0s, init_states, init_warms)
+    _, (X, U, Xdot, info, knl) = jax.lax.scan(step, carry,
+                                              jnp.arange(sim.numSteps))
     # -> outputs with leading batch dim (B, T, ...)
     swap = lambda a: jnp.swapaxes(a, 0, 1)
     return RolloutOutputs(X=swap(X), U=swap(U), Xdot=swap(Xdot),
-                          info=jax.tree.map(swap, info))
+                          info=jax.tree.map(swap, info),
+                          knl=jax.tree.map(swap, knl))
 
 
 # UnicycleSim mixes array leaves with static config ints, so it is closed

@@ -139,14 +139,33 @@ def _max_step(P, D):
     return jnp.clip(jnp.minimum(t_quad, t_head), 0.0, BIG)
 
 
+def _interior_shift(S):
+    """Re-center a (possibly boundary) point into the cone interior for
+    warm starts: per cone, push the head coordinate up until the SOC
+    margin s0 - ||s1|| reaches a scale-relative floor.  Padded coordinates
+    (exact zeros) are unaffected."""
+    scale = jnp.linalg.norm(S, axis=1)
+    floor = 1e-2 * (1.0 + scale)
+    margin = S[:, 0] - jnp.linalg.norm(S[:, 1:], axis=1)
+    shift = jnp.maximum(0.0, floor - margin)
+    return S.at[:, 0].add(shift)
+
+
 @partial(jax.jit, static_argnames=("dims", "iters", "tol"))
 def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
                dims: Tuple[int, ...], iters: int = 30,
-               tol: float = 1e-10) -> SOCPSolution:
+               tol: float = 1e-10, warm=None) -> SOCPSolution:
     """Solve min c^T x s.t. Gx + s = h, s in product of SOCs of sizes `dims`.
 
     `dims` is static; the body is one lax.scan of `iters` Mehrotra
-    iterations over vectorized padded cone blocks."""
+    iterations over vectorized padded cone blocks.
+
+    `warm` (optional): an (x, S, Z) triple from a previous solve of a
+    problem with identical cone structure (e.g. the previous control step
+    of a rollout scan, whose data moved by O(dt)).  The slacks/duals are
+    re-centered into the cone interior; this is an infeasible-start IPM so
+    the warm point need not be feasible for the new data.  Non-finite warm
+    points fall back to the cold start in-graph."""
     dtype = jnp.result_type(c.dtype, G.dtype, h.dtype)
     c = c.astype(dtype)
     G = G.astype(dtype)
@@ -243,7 +262,16 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
         return (x, S, Z, best), None
 
     big = jnp.asarray(jnp.inf, dtype)
-    init = (x0, e, e, (x0, e, e, big))
+    if warm is None:
+        sx, sS, sZ = x0, e, e
+    else:
+        wx, wS, wZ = (w.astype(dtype) for w in warm)
+        ok = (jnp.all(jnp.isfinite(wx)) & jnp.all(jnp.isfinite(wS))
+              & jnp.all(jnp.isfinite(wZ)))
+        sx = jnp.where(ok, wx, x0)
+        sS = jnp.where(ok, _interior_shift(wS), e)
+        sZ = jnp.where(ok, _interior_shift(wZ), e)
+    init = (sx, sS, sZ, (x0, e, e, big))
     (x, S, Z, best), _ = jax.lax.scan(body, init, None, length=iters)
     score = _score(x, S, Z)
     bx, bS, bZ, bscore = best

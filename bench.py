@@ -29,17 +29,22 @@ def main():
         make_ackermann_tracking_sim, STATE_START)
     from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle_batch
 
-    # flagship-shaped episode, sized to finish the bench in a few minutes:
-    # learning on (two refits inside the horizon), 2 obstacle CBC cones +
-    # CLC cone + objective cone per step.
+    # the TRUE flagship config (unicycle_learning_helps_avoid_getting_stuck,
+    # BASELINE.md: max_train=200, train_every_n_steps=400, training_iter=100),
+    # sized to two refits inside the horizon; 2 obstacle CBC cones + CLC
+    # cone + objective cone per step; warm-started IPM across the scan.
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    num_steps = int(os.environ.get("BENCH_STEPS", "512"))
-    max_train = int(os.environ.get("BENCH_MAX_TRAIN", "64"))
+    num_steps = int(os.environ.get("BENCH_STEPS", "800"))
+    max_train = int(os.environ.get("BENCH_MAX_TRAIN", "200"))
+    train_every = int(os.environ.get("BENCH_TRAIN_EVERY", "400"))
+    training_iter = int(os.environ.get("BENCH_TRAINING_ITER", "100"))
+    warm = os.environ.get("BENCH_WARM", "1") == "1"
     sim = make_ackermann_tracking_sim(
         dt=0.001, numSteps=num_steps, true_L=1.0, mean_L=12.0,
         kernel_diag_A=(1.0, 1.0, 1.0), max_risk=0.01,
-        enable_learning=True, train_every_n_steps=200,
-        max_train=max_train, training_iter=50, socp_iters=20)
+        enable_learning=True, train_every_n_steps=train_every,
+        max_train=max_train, training_iter=training_iter,
+        socp_iters=25, warm_start=warm, socp_iters_warm=10)
 
     dtype = jnp.float64 if platform == "cpu" else jnp.float32
     x0 = jnp.asarray(STATE_START, dtype)
@@ -71,6 +76,8 @@ def main():
         "finite": ok,
         "platform": platform,
         "episode_steps": num_steps,
+        "max_train": max_train,
+        "warm_start": warm,
         "wall_s_per_batch": round(dt_run, 4),
     }
     print(json.dumps(result))
