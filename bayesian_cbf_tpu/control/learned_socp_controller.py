@@ -17,7 +17,8 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..safety.cbc import (cbc2_gp, cbc2_quadratic_terms, cbc2_safety_factor,
+from ..safety.cbc import (cbc2_closed_form_terms, cbc2_gp,
+                          cbc2_quadratic_terms, cbc2_safety_factor,
                           cbc_to_socp_cone)
 from ..solvers.socp import solve_socp
 
@@ -31,6 +32,9 @@ class LearnedSOCPControllerConfig(NamedTuple):
     max_unsafe_prob: float = 0.01
     k_alpha: Tuple[float, float] = (1.0, 3.0)
     socp_iters: int = 25
+    # assemble CBC2 cones from one posterior moment-derivative evaluation
+    # (cbc2_closed_form_terms) instead of the per-cone GradientGP walk
+    closed_form: bool = True
 
     @property
     def safety_factor(self) -> float:
@@ -40,13 +44,22 @@ class LearnedSOCPControllerConfig(NamedTuple):
 def learned_socp_control(cfg: LearnedSOCPControllerConfig,
                          cbf_h, cbf_grad_h,
                          f_gp_fn: Callable, fu_gp_fn: Callable,
-                         u_ref, x, clc_fn: Optional[Callable] = None):
+                         u_ref, x, clc_fn: Optional[Callable] = None,
+                         moment_deriv_fn: Optional[Callable] = None):
     """One SOCP step with learned CBC2 cones.
 
     cbf_h / cbf_grad_h: barrier and its gradient (can be lists for multiple
     barriers — pass tuples).  f_gp_fn() / fu_gp_fn(u) provide the learned
     model GPs with registered cross-covariance.  clc_fn: optional
-    u -> GP of the (negated) CLC for the stability cone."""
+    u -> GP of the (negated) CLC for the stability cone.
+
+    moment_deriv_fn (optional): x -> posterior moment derivatives
+    (LearnedShiftInvariantDynamics.moment_derivatives).  When given, the
+    CBC2 cones are assembled in closed form from ONE posterior-derivative
+    evaluation (cbc2_closed_form_terms) instead of walking GradientGP
+    Hessians through the posterior once per cone — the fast path for
+    rollout scans (same u->cone math, cross-checked in
+    tests/test_pendulum_exp.py)."""
     m = cfg.u_dim
     dtype = x.dtype
     extravars = 2                    # [delta, y]
@@ -77,11 +90,16 @@ def learned_socp_control(cfg: LearnedSOCPControllerConfig,
 
     # CBC2 safety cones: factor * ||A u + b|| <= c^T u + d  (no delta)
     cbc_means, cbc_vars = [], []
+    mder = None if moment_deriv_fn is None else moment_deriv_fn(x)
     for h, gh in zip(hs, ghs):
-        builder = lambda uu, h=h, gh=gh: cbc2_gp(
-            h, gh, f_gp_fn, fu_gp_fn, cfg.x_dim, cfg.k_alpha, uu)
-        (bfe, e), (V, bfv, v), mu_k, var_k = cbc2_quadratic_terms(
-            builder, x, u0)
+        if mder is not None:
+            (bfe, e), (V, bfv, v), mu_k, var_k = cbc2_closed_form_terms(
+                h, gh, cfg.k_alpha, mder, x, u0)
+        else:
+            builder = lambda uu, h=h, gh=gh: cbc2_gp(
+                h, gh, f_gp_fn, fu_gp_fn, cfg.x_dim, cfg.k_alpha, uu)
+            (bfe, e), (V, bfv, v), mu_k, var_k = cbc2_quadratic_terms(
+                builder, x, u0)
         A, b, cvec, d = cbc_to_socp_cone(bfe, e, V, bfv, v,
                                          extravars=extravars, relax_col=-1)
         add_cone(factor * A, factor * b, cvec, d)

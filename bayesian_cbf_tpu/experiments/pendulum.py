@@ -73,9 +73,11 @@ class PendulumOnlineSim(NamedTuple):
         def f_gp_fn():
             return cache["pair"][0]
 
+        mdf = ((lambda xx: self.learned.moment_derivatives(dyn_state, xx))
+               if self.controller.closed_form else None)
         return learned_socp_control(
             self.controller, self.cbf.cbf, self.cbf.grad_cbf,
-            f_gp_fn, fu_gp_fn, u_ref, x)
+            f_gp_fn, fu_gp_fn, u_ref, x, moment_deriv_fn=mdf)
 
 
 def make_pendulum_online_sim(

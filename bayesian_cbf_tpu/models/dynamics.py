@@ -336,6 +336,54 @@ class LearnedShiftInvariantDynamics(NamedTuple):
             Fx_var=Bk[0, 0] * jnp.trace(A),
             Fxu_var=(uh @ Bk @ uh) * jnp.trace(A))
 
+    def moment_derivatives(self, state: LearnedDynState, x):
+        """Posterior moment *derivatives* at a single state x — everything a
+        relative-degree-2 chance constraint needs, computed once per step:
+
+            M  (n, 1+m)        posterior mean of F^T (incl. mean dynamics)
+            dM (n, 1+m, n)     dM[i, j, a] = d M[i, j] / d x_a
+            Bk (1+m, 1+m)      posterior row covariance at (x, x)
+            D1 (n, 1+m, 1+m)   D1[a] = d Bk(x, x') / d x_a     | x'=x
+            D2 (n, n, 1+m,1+m) D2[a,b] = d^2 Bk / d x_a d x'_b | x'=x
+            A  (n, n)          task output covariance
+
+        This is the closed-form replacement for walking GradientGP
+        Hessians through the posterior once per cone (the reference's
+        custom_predict(grad_gp=True), control_affine_model.py:512-610):
+        ONE forward-over-forward pass through Bk_single serves every
+        CBC2/CLC cone of the step."""
+        md = self.mean_dynamics
+        gp = self.gp
+        n, mh = gp.x_dim, 1 + gp.u_dim
+        dtype = x.dtype
+        if not self.enable_learning:
+            Mfun = lambda xx: md.F_func(xx)
+            M = Mfun(x)
+            dM = jax.jacfwd(Mfun)(x)
+            A = jnp.diag(jnp.asarray(getattr(md, "kernel_diag_A",
+                                             (1.0,) * n), dtype=dtype))
+            return (M, dM, jnp.eye(mh, dtype=dtype),
+                    jnp.zeros((n, mh, mh), dtype),
+                    jnp.zeros((n, n, mh, mh), dtype), A)
+        si = self._shift_inv
+
+        def Mfun(xx):
+            return md.F_func(xx) + gp.fT_post(state.params, state.data,
+                                              state.cache, si(xx))
+
+        def Bkfun(xx, xxp):
+            return gp.Bk_single(state.params, state.data, state.cache,
+                                si(xx), si(xxp))
+
+        M = Mfun(x)
+        dM = jax.jacfwd(Mfun)(x)                          # (n, 1+m, n)
+        Bk = Bkfun(x, x)
+        D1 = jnp.moveaxis(jax.jacfwd(Bkfun, argnums=0)(x, x), -1, 0)
+        D2 = jnp.transpose(
+            jax.jacfwd(jax.jacfwd(Bkfun, argnums=0), argnums=1)(x, x),
+            (2, 3, 0, 1))
+        return M, dM, Bk, D1, D2, state.params.A
+
     def f_gp_and_fu_gp(self, state: LearnedDynState, u):
         """(f_gp, fu_gp) leaves with their cross-covariance registered —
         needed by the relative-degree-2 CBC (cov(F u, f) registered at

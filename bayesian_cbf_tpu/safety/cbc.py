@@ -74,6 +74,89 @@ def cbc2_quadratic_terms(cbc_of_u, x, u0):
     return (bfe, e), (V, bfv, v), mean_fn(u0), knl_fn(u0)
 
 
+def cbc2_closed_form_moments(h, grad_h, k_alpha, mder, x, u):
+    """(mean, variance) of the relative-degree-2 CBC at (x, u) in CLOSED
+    FORM from the posterior moment derivatives
+    `mder = (M, dM, Bk, D1, D2, A)` (LearnedShiftInvariantDynamics
+    .moment_derivatives).
+
+    Exactly the moments the GP-expression path computes (cbc2_gp +
+    DotGP/GradientGP Isserlis algebra), but with the posterior evaluated
+    once: under vec F(x) ~ N(vec M^T, Bk kron A),
+
+        L1h       = grad_h^T f,           f = F e0
+        G := grad L1h  with  mu_G = Hh mu_f + dmu_f^T g1,
+        K_G[a,b]  = D2[a,b,0,0] s + d1[a] (HhAg)[b] + d1[b] (HhAg)[a]
+                    + Bk00 (Hh A Hh)[a,b],          s = g1^T A g1
+        C := cov(G, F uh) = c1 outer (A g1) + b0u * Hh A,
+                    c1[a] = D1[a, 0, :] uh,  b0u = Bk[0] uh
+        CBC2 = G^T (F uh) + ka0 h + ka1 L1h   (DotGP exact Isserlis).
+
+    The mean is affine and the variance *exactly* quadratic in uh, so the
+    downstream Taylor extraction at u0 is exact.  The same small-negative
+    eigenvalue clamp (EPS=2e-3) as GradientGP.knl is applied to K_G.
+    Replaces the reference's custom_predict(grad_gp=True) route
+    (control_affine_model.py:512-610)."""
+    from ..gp.algebra import EPS
+    M, dM, Bk, D1, D2, A = mder
+    uh = jnp.concatenate([jnp.ones((1,), u.dtype), u])
+    g1 = grad_h(x)
+    Hh = jax.jacfwd(grad_h)(x)
+    Hh = 0.5 * (Hh + Hh.T)
+
+    mu_f = M[:, 0]
+    mu_Fu = M @ uh
+    dmu_f = dM[:, 0, :]                       # (n, n): d mu_f_i / d x_a
+    mu_G = Hh @ mu_f + dmu_f.T @ g1
+
+    s = g1 @ A @ g1
+    Ag = A @ g1
+    HAg = Hh @ Ag
+    HAH = Hh @ A @ Hh
+    b00 = Bk[0, 0]
+    d1 = D1[:, 0, 0]                          # (n,)
+    K_G = (D2[:, :, 0, 0] * s + jnp.outer(d1, HAg) + jnp.outer(HAg, d1)
+           + b00 * HAH)
+    # PSD repair, parity with GradientGP.knl at x == x'
+    Ks = 0.5 * (K_G + K_G.T)
+    w, vv = jnp.linalg.eigh(Ks)
+    w = jnp.where((w < 0) & (w > -EPS), 0.0, w)
+    K_G = (vv * w[None, :]) @ vv.T
+
+    c1 = D1[:, 0, :] @ uh                     # (n,)
+    b0u = Bk[0] @ uh
+    C = jnp.outer(c1, Ag) + b0u * (Hh @ A)    # cov(G, F uh): (n, n)
+    K_Fu = (uh @ Bk @ uh) * A
+
+    mean_L2h = mu_G @ mu_Fu + jnp.trace(C)
+    knl_L2h = (mu_G @ K_Fu @ mu_G + mu_Fu @ K_G @ mu_Fu
+               + 2.0 * (mu_G @ C @ mu_Fu)
+               + jnp.sum(K_G * K_Fu) + jnp.sum(C * C))
+
+    mean_L1h = g1 @ mu_f
+    K_L1h = b00 * s
+    cov_L2h_L1h = mu_G @ (b0u * Ag) + mu_Fu @ (d1 * s + b00 * HAg)
+
+    ka0, ka1 = k_alpha
+    mean = mean_L2h + ka0 * jnp.reshape(h(x), ()) + ka1 * mean_L1h
+    var = knl_L2h + ka1 ** 2 * K_L1h + 2.0 * ka1 * cov_L2h_L1h
+    return mean, var
+
+
+def cbc2_closed_form_terms(h, grad_h, k_alpha, mder, x, u0):
+    """Same contract as cbc2_quadratic_terms — ((bfe, e), (V, bfv, v),
+    mean, var) — but through cbc2_closed_form_moments: the u-autodiff runs
+    over small tensor polynomials (the posterior tensors are constants),
+    not through the GP posterior."""
+    mean_fn = lambda u: cbc2_closed_form_moments(
+        h, grad_h, k_alpha, mder, x, u)[0]
+    var_fn = lambda u: cbc2_closed_form_moments(
+        h, grad_h, k_alpha, mder, x, u)[1]
+    bfe, e = affine_terms(mean_fn, u0)
+    V, bfv, v = quadratic_terms(var_fn, u0)
+    return (bfe, e), (V, bfv, v), mean_fn(u0), var_fn(u0)
+
+
 def cbc_to_socp_cone(bfe, e, V, bfv, v, extravars: int = 2,
                      relax_col: int = -1):
     """Homogenize the variance quadratic and emit SOC data (A, b, c, d).

@@ -70,3 +70,53 @@ def test_speed_test_miniature():
         for k in (16, 24):
             assert res[name][k]["elapsed"] > 0
             assert np.isfinite(res[name][k]["error"])
+
+
+def test_cbc2_closed_form_matches_gp_path():
+    """The closed-form CBC2 cone terms (one posterior moment-derivative
+    evaluation) must reproduce the GP-expression-tree path exactly
+    (same Isserlis algebra, VERDICT round-1 item 3)."""
+    from bayesian_cbf_tpu.safety.cbc import (cbc2_gp, cbc2_quadratic_terms,
+                                             cbc2_closed_form_terms)
+    sim = make_pendulum_online_sim(numSteps=40, max_train=12,
+                                   training_iter=6, train_every_n_steps=8)
+    x = jnp.asarray([7 * math.pi / 12, 0.0])
+    st = sim.learned.init_state(jax.random.PRNGKey(0), dtype=x.dtype)
+    for t in range(10):
+        u = jnp.asarray([1.5 - 0.1 * t])
+        st = sim.learned.record(st, x, u)
+        x, _ = sim.true_dynamics.step(x, u, sim.dt)
+    st = sim.learned.fit_now(st)
+
+    xq = jnp.asarray([1.9, 0.4])
+    u0 = jnp.full((1,), 0.5)
+    cache = {}
+
+    def fu_gp_fn(u):
+        cache["pair"] = sim.learned.f_gp_and_fu_gp(st, u)
+        return cache["pair"][1]
+
+    builder = lambda uu: cbc2_gp(sim.cbf.cbf, sim.cbf.grad_cbf,
+                                 lambda: cache["pair"][0], fu_gp_fn, 2,
+                                 sim.controller.k_alpha, uu)
+    ref = cbc2_quadratic_terms(builder, xq, u0)
+    mder = sim.learned.moment_derivatives(st, xq)
+    got = cbc2_closed_form_terms(sim.cbf.cbf, sim.cbf.grad_cbf,
+                                 sim.controller.k_alpha, mder, xq, u0)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10)
+
+
+def test_online_learning_closed_form_matches_gp_path():
+    """Full online pendulum loop: closed-form cones give the same controls
+    and trajectory as the GradientGP expression path."""
+    kw = dict(numSteps=40, max_train=12, training_iter=6,
+              train_every_n_steps=10, socp_iters=20)
+    simc = make_pendulum_online_sim(**kw)
+    simg = simc._replace(
+        controller=simc.controller._replace(closed_form=False))
+    Xc, Uc, _, _ = run_pendulum_online_learning(simc)
+    Xg, Ug, _, _ = run_pendulum_online_learning(simg)
+    np.testing.assert_allclose(np.asarray(Uc), np.asarray(Ug), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xg), atol=1e-7)

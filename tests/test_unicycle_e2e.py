@@ -78,3 +78,23 @@ def test_vmap_batch_of_rollouts():
     assert np.all(np.isfinite(np.asarray(outs.X)))
     # batched trajectories differ with initial state
     assert float(jnp.abs(outs.X[0] - outs.X[1]).max()) > 1e-6
+
+
+def test_warm_started_ipm_matches_cold():
+    """Warm-starting the per-step SOCP from the previous step's (x, s, z)
+    with 10 iterations must reproduce the 25-iteration cold solve along a
+    full learning rollout (VERDICT round-1 item 2b)."""
+    import numpy as np
+    kw = dict(numSteps=60, dt=0.01, max_train=16, training_iter=6,
+              train_every_n_steps=25)
+    cold = make_ackermann_tracking_sim(**kw)
+    warm = make_ackermann_tracking_sim(warm_start=True, **kw)
+    oc = simulate_unicycle(cold, jnp.asarray(STATE_START))
+    ow = simulate_unicycle(warm, jnp.asarray(STATE_START))
+    assert float(np.mean(np.asarray(ow.info.feasible))) > 0.95
+    # per-step solver differences (~1e-3) compound through the closed loop;
+    # assert trajectory-level equivalence
+    np.testing.assert_allclose(np.asarray(ow.U), np.asarray(oc.U),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ow.X), np.asarray(oc.X),
+                               atol=1e-2)
