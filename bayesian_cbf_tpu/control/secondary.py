@@ -122,9 +122,23 @@ class PIDController(NamedTuple):
 
 
 class ILQRController(NamedTuple):
-    """Finite-horizon iLQR (bayes_cbf/ilqr.py:19-190): iterate
-    (linearize along trajectory -> Riccati backward -> rollout forward),
-    box-clipped controls, fixed iteration count for jit."""
+    """Finite-horizon iLQR via the reference's affine backpropagation
+    (bayes_cbf/ilqr.py:43-76,126-190):
+
+    cost  sum_t  u_t^T R u_t + 2 z^T u_t + x_t^T Q x_t + 2 s^T x_t,
+    s = -Q x_goal (so the state terms equal (x - x_g)^T Q (x - x_g) up to a
+    constant), z = 0.  Backward affine recursion with value function
+    x^T P x + 2 o^T x:
+
+        G = R + B^T P B,       K = G^{-1} B^T P A,
+        P' = Q + A^T P A - A^T P B K,
+        o' = s + A^T o - K^T (z + B^T o),   k = G^{-1} (z + B^T o),
+
+    optimal u_t = -K_t x_t - k_t; forward pass rolls the *nonlinear*
+    dynamics under the affine policy; `lqr_iter` refinement rounds
+    relinearize along the new trajectory (ilqr.py:171-185).  The initial
+    trajectory linearizes every step at (x0, u0=1) exactly as the
+    reference's cold start (ilqr.py:173-177)."""
     Q: jax.Array
     R: jax.Array
     x_goal: jax.Array
@@ -139,48 +153,58 @@ class ILQRController(NamedTuple):
         dtype = x0.dtype
         Q, R = self.Q.astype(dtype), self.R.astype(dtype)
         xg = self.x_goal.astype(dtype)
+        s = -Q @ xg
+        z = jnp.zeros((m,), dtype)
         lo = jnp.asarray(self.ctrl_range[0], dtype)
         hi = jnp.asarray(self.ctrl_range[1], dtype)
 
         def dyn(x, u):
             return x + self.dt * (f_func(x) + g_func(x) @ u)
 
-        def rollout(us):
-            def step(x, u):
-                xn = dyn(x, u)
-                return xn, x
-            _, xs = jax.lax.scan(step, x0, us)
-            return xs
+        def linearize(x, u):
+            A = jax.jacfwd(lambda xx: dyn(xx, u))(x)
+            B = self.dt * g_func(x)
+            return A, B
 
-        def ilqr_iter(us, _):
-            xs = rollout(us)
-
-            def linearize(x, u):
-                A = jax.jacfwd(lambda xx: dyn(xx, u))(x)
-                B = jax.jacfwd(lambda uu: dyn(x, uu))(u)
-                return A, B
-
+        def backward(xs, us):
             As, Bs = jax.vmap(linearize)(xs, us)
 
-            def backward(P, AB):
-                A, B, x = AB
+            def bstep(carry, AB):
+                P, o = carry
+                A, B = AB
                 BtP = B.T @ P
-                K = _solve_pd(R + BtP @ B, BtP @ A)
-                P = Q + A.T @ P @ (A - B @ K)
-                return P, (K,)
+                G = R + BtP @ B
+                Bto = B.T @ o
+                K = _solve_pd(G, BtP @ A)
+                k = _solve_pd(G, z + Bto)
+                P_new = Q + A.T @ P @ A - A.T @ P @ B @ K
+                o_new = s + A.T @ o - K.T @ (z + Bto)
+                return (P_new, o_new), (K, k)
 
-            _, (Ks,) = jax.lax.scan(
-                backward, Q, (As, Bs, xs), reverse=True)
+            _, (Ks, ks) = jax.lax.scan(bstep, (Q, s), (As, Bs),
+                                       reverse=True)
+            return Ks, ks
 
-            def forward(x, KU):
-                K, u_old, x_old = KU
-                u = clip_vec(u_old - K @ (x - x_old) - 0.1 * K @ (x - xg),
-                             lo, hi)
-                return dyn(x, u), u
+        def forward(Ks, ks):
+            def fstep(x, Kk):
+                K, k = Kk
+                u = clip_vec(-K @ x - k, lo, hi)
+                return dyn(x, u), (x, u)
 
-            _, us_new = jax.lax.scan(forward, x0, (Ks, us, xs))
-            return us_new, None
+            _, (xs, us) = jax.lax.scan(fstep, x0, (Ks, ks))
+            return xs, us
 
-        us0 = jnp.zeros((self.horizon, m), dtype)
-        us, _ = jax.lax.scan(ilqr_iter, us0, None, length=self.lqr_iter)
-        return us[0]
+        # cold start: linearize the whole horizon at (x0, u0 = 1)
+        xs = jnp.broadcast_to(x0, (self.horizon, n))
+        us = jnp.ones((self.horizon, m), dtype)
+        Ks, ks = backward(xs, us)
+
+        def refine(carry, _):
+            Ks, ks = carry
+            xs, us = forward(Ks, ks)
+            Ks, ks = backward(xs, us)
+            return (Ks, ks), None
+
+        (Ks, ks), _ = jax.lax.scan(refine, (Ks, ks), None,
+                                   length=self.lqr_iter)
+        return clip_vec(-Ks[0] @ x0 - ks[0], lo, hi)

@@ -106,13 +106,48 @@ def test_lqr_drives_to_goal():
     assert float(jnp.linalg.norm(xf)) < 0.1
 
 
-def test_ilqr_runs():
+def test_ilqr_reduces_cost_and_reaches_goal():
+    """The affine-backprop iLQR (bayes_cbf/ilqr.py:43-76) must (a) beat
+    zero control on its own quadratic objective over the horizon and
+    (b) drive the pendulum to the goal in closed loop."""
     pend = PendulumDynamics()
-    ilqr = ILQRController(Q=jnp.eye(2), R=jnp.eye(1) * 0.1,
-                          x_goal=jnp.zeros(2), horizon=20, dt=0.01)
-    u = ilqr.control_with_model(pend.f_func, pend.g_func,
-                                jnp.array([0.4, 0.0]), 0)
-    assert np.isfinite(float(u[0]))
+    Q = jnp.eye(2)
+    R = jnp.eye(1) * 0.1
+    xg = jnp.zeros(2)
+    ilqr = ILQRController(Q=Q, R=R, x_goal=xg, horizon=60, dt=0.01,
+                          lqr_iter=3, ctrl_range=(-50.0, 50.0))
+
+    def traj_cost(x0, controller):
+        def step(x, i):
+            u = controller(x, i)
+            xn, _ = pend.step(x, u, 0.01)
+            c = (x - xg) @ Q @ (x - xg) + u @ R @ u
+            return xn, c
+        _, cs = jax.lax.scan(step, x0, jnp.arange(150))
+        return float(jnp.sum(cs))
+
+    x0 = jnp.array([0.8, 0.0])
+    c_zero = traj_cost(x0, lambda x, i: jnp.zeros((1,)))
+    c_ilqr = traj_cost(
+        x0, lambda x, i: ilqr.control_with_model(pend.f_func, pend.g_func,
+                                                 x, i))
+    assert c_ilqr < 0.5 * c_zero, (c_ilqr, c_zero)
+    # the nonlinear refinement must do at least as well as pure LQR
+    lqr = LQRController(Q=Q, R=R, x_goal=xg, horizon=60, dt=0.01,
+                        ctrl_range=(-50.0, 50.0))
+    c_lqr = traj_cost(
+        x0, lambda x, i: lqr.control_with_model(pend.f_func, pend.g_func,
+                                                x, i))
+    assert c_ilqr <= c_lqr + 1e-6, (c_ilqr, c_lqr)
+
+    # closed loop reaches the goal
+    def roll(x, _):
+        u = ilqr.control_with_model(pend.f_func, pend.g_func, x, 0)
+        xn, _ = pend.step(x, u, 0.01)
+        return xn, xn
+
+    xf, _ = jax.lax.scan(roll, x0, None, length=400)
+    assert float(jnp.linalg.norm(xf - xg)) < 0.1
 
 
 def test_greedy_and_epsilon():
