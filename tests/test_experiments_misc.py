@@ -77,3 +77,36 @@ def test_replay_roundtrip(tmp_path):
     log.close()
     ax = replay_run(log.dir, savefile=str(tmp_path / "replay.png"))
     assert os.path.exists(str(tmp_path / "replay.png"))
+
+
+def test_harness_sweep_and_overrides():
+    """kwplus-parity helpers: grid expansion and dotted-key overrides."""
+    from bayesian_cbf_tpu.experiments.harness import (apply_overrides,
+                                                      kwvariations)
+    var = kwvariations(a=[1, 2], b=["x", "y"])
+    assert len(var) == 4 and {"a": 2, "b": "y"} in var
+    cfg = apply_overrides({"ctrl": {"max_risk": 0.5}, "dt": 0.01},
+                          {"ctrl.max_risk": 0.01, "ctrl.new": 3})
+    assert cfg["ctrl"]["max_risk"] == 0.01
+    assert cfg["ctrl"]["new"] == 3
+    assert cfg["dt"] == 0.01
+
+
+def test_harness_run_experiment(tmp_path):
+    """run_experiment creates a run dir with config.json + logged rollout
+    (unicycle_demo parity) and the CLI registry resolves all README
+    experiments."""
+    import json
+    import os.path as osp
+    from bayesian_cbf_tpu.experiments.harness import (experiment_names,
+                                                      run_experiment)
+    assert len(experiment_names()) == 4
+    sim, out, run_dir = run_experiment(
+        "unicycle_bayes_cbf_safe_obstacle", runs_dir=str(tmp_path),
+        numSteps=30, dt=0.01, max_train=12, training_iter=4,
+        train_every_n_steps=20)
+    assert osp.exists(osp.join(run_dir, "config.json"))
+    assert osp.exists(osp.join(run_dir, "metrics.jsonl"))
+    cfg = json.load(open(osp.join(run_dir, "config.json")))
+    assert cfg["numSteps"] == 30
+    assert "obstacles" in cfg and len(cfg["obstacles"]) == 2
