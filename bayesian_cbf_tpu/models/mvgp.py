@@ -101,9 +101,15 @@ class MVGPData(NamedTuple):
 class MVGPCache(NamedTuple):
     """Posterior solve cache — the analogue of the reference's
     `_perturbed_cholesky` cache (bayes_cbf/control_affine_model.py:379-395),
-    refreshed on refit instead of invalidated."""
+    refreshed on refit instead of invalidated.
+
+    `Linv` (the explicit triangular inverse) is the TPU-first addition:
+    triangular solves are latency-bound on TPU (sequential back-substitution),
+    so the per-control-step posterior evaluations become pure MXU matmuls
+    against Linv, paid for by one O(K^3/3) solve-against-identity per refit."""
     L: jax.Array      # (K, K) Cholesky of masked Kb
     alpha: jax.Array  # (K, n) = Kb^{-1} (Xdot - M^T uh)
+    Linv: jax.Array   # (K, K) = L^{-1}
 
 
 class MVGP(NamedTuple):
@@ -184,8 +190,17 @@ class MVGP(NamedTuple):
         n = self.x_dim
         kcnt = jnp.sum(data.mask)
         Y = self.residual_Y(params, data)
-        _, Lb = masked_cholesky(self.gram_kb(params, data), data.mask,
-                                init_jitter=self.jitter)
+        # plain (single) Cholesky here, NOT the jitter ladder: the Gram
+        # already carries +jitter I, and the Adam loop's NaN guard rejects
+        # any step whose factorization fails — paying the 9-rung batched
+        # ladder per MLL evaluation was the dominant cost of the whole
+        # flagship rollout (the refit phase measured 70% of bench wall).
+        m = data.mask.astype(Y.dtype)
+        outer = m[:, None] * m[None, :]
+        eye = jnp.eye(data.X.shape[0], dtype=Y.dtype)
+        Km = (self.gram_kb(params, data) * outer
+              + eye * (1.0 - m)[:, None])
+        Lb = jnp.linalg.cholesky(Km)
         _, LA = psd_cholesky(params.A, init_jitter=self.jitter)
         # tr(A^{-1} Y^T Kb^{-1} Y) = || LA^{-1} (Lb^{-1} Y)^T ||_F^2
         KinvY = jax.scipy.linalg.solve_triangular(Lb, Y, lower=True)
@@ -257,12 +272,15 @@ class MVGP(NamedTuple):
         return Kb * (m[:, None] * m[None, :]) + eye * (1.0 - m)[:, None]
 
     def refresh_cache(self, params: MVGPParams, data: MVGPData) -> MVGPCache:
-        """Factor the masked Gram and precompute alpha = Kb^{-1} Y."""
+        """Factor the masked Gram and precompute alpha = Kb^{-1} Y and
+        Linv = L^{-1} (so the in-scan posterior evals are matmuls)."""
         _, L = psd_cholesky(self.masked_kb(params, data),
                             init_jitter=self.jitter)
         Y = self.residual_Y(params, data)
         alpha = jax.scipy.linalg.cho_solve((L, True), Y)
-        return MVGPCache(L=L, alpha=alpha)
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True)
+        return MVGPCache(L=L, alpha=alpha, Linv=Linv)
 
     def cache_append(self, params: MVGPParams, data: MVGPData,
                      cache: MVGPCache, slot) -> MVGPCache:
@@ -278,13 +296,18 @@ class MVGP(NamedTuple):
         against the old L yields l21 directly."""
         Kb = self.masked_kb(params, data)
         c_full = Kb[slot, :] * (jnp.arange(Kb.shape[0]) < slot)
-        l21 = jax.scipy.linalg.solve_triangular(cache.L, c_full, lower=True)
+        l21 = cache.Linv @ c_full          # == solve_triangular(L, c)
         d = Kb[slot, slot]
         l22 = jnp.sqrt(jnp.maximum(d - jnp.sum(l21 * l21), self.jitter))
         L = cache.L.at[slot, :].set(l21).at[slot, slot].set(l22)
+        # O(K^2) Linv update: for the appended block row [l21^T, l22] the
+        # inverse's new row is -(l21^T Linv)/l22 with diagonal 1/l22; all
+        # other rows (identity beyond the prefix) are unchanged.
+        row = -(l21 @ cache.Linv) / l22
+        Linv = cache.Linv.at[slot, :].set(row).at[slot, slot].set(1.0 / l22)
         Y = self.residual_Y(params, data)
         alpha = jax.scipy.linalg.cho_solve((L, True), Y)
-        return MVGPCache(L=L, alpha=alpha)
+        return MVGPCache(L=L, alpha=alpha, Linv=Linv)
 
     def _kb_star(self, params: MVGPParams, data: MVGPData, Xtest: jax.Array):
         """Cross-covariance block 𝔅(XU, x*): (b, K, 1+m), masked."""
@@ -358,12 +381,17 @@ class MVGP(NamedTuple):
         return params.mean_M.T + jnp.einsum('kn,kj->nj', cache.alpha, kb)
 
     def Bk_single(self, params, data, cache, x, xp):
-        """Posterior row covariance Bk(x, x'): (1+m, 1+m), single states."""
+        """Posterior row covariance Bk(x, x'): (1+m, 1+m), single states.
+
+        Uses the cached L^{-1} so the in-scan evaluation is two (K, K) @
+        (K, 1+m) matmuls (MXU) instead of a latency-bound triangular solve
+        per control step."""
         kb = self._kb_star(params, data, x[None])[0]
         kbp = self._kb_star(params, data, xp[None])[0]
         prior = self.k_xx_single(params, x, xp) * params.B
-        solved = jax.scipy.linalg.cho_solve((cache.L, True), kbp)
-        return prior - kb.T @ solved
+        vb = cache.Linv @ kb
+        vbp = vb if xp is x else cache.Linv @ kbp
+        return prior - vb.T @ vbp
 
     def fu_mean(self, params, data, cache, u, x):
         """mean of F(x)^T [1;u]: (n,)."""

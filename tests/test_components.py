@@ -263,3 +263,55 @@ def test_fast_controller_matches_gp_path():
     # extraction point u0 on the GP path; only the controls must agree)
     np.testing.assert_allclose(float(info_fast.relax),
                                float(info_gp.relax), rtol=1e-3, atol=1e-4)
+
+
+def test_racecar_env():
+    """RacecarEnv equivalent (bulletcar/racecar.py:39-137): reference
+    interface, motor/servo lag, and kinematic consistency."""
+    from bayesian_cbf_tpu.models.racecar import RacecarDynamics, RacecarEnv
+    env = RacecarEnv(obstacle_centers=[(2.0, 0.0)], obstacle_radii=[0.5])
+    assert env.state_size == 3 and env.ctrl_size == 2
+    env.set_init_state(jnp.asarray([0.0, 0.0, 0.0]))
+    # full throttle straight: x advances, y/theta stay ~0
+    for _ in range(100):
+        obs = env.step(jnp.asarray([1.0, 0.0]), 0.01)
+    x = np.asarray(obs["x"])
+    assert x[0] > 0.5 and abs(x[1]) < 1e-6 and abs(x[2]) < 1e-6
+    # speed saturates at max_speed (motor lag + drag keep it below)
+    assert float(np.asarray(obs["xdot"])[0]) <= env.dynamics.max_speed
+    # steering turns the car
+    env.set_init_state(jnp.asarray([0.0, 0.0, 0.0]))
+    for _ in range(150):
+        obs = env.step(jnp.asarray([0.6, 0.8]), 0.01)
+    assert abs(float(np.asarray(obs["x"])[2])) > 0.3
+    # functional core scans (differentiable env)
+    dyn = RacecarDynamics()
+    s0 = dyn.init_state(jnp.zeros(3))
+
+    def roll(s, _):
+        s, xdot = dyn.step(s, jnp.asarray([0.5, 0.1]), 0.01)
+        return s, xdot
+
+    sT, xdots = jax.lax.scan(roll, s0, None, length=50)
+    assert bool(jnp.all(jnp.isfinite(xdots)))
+
+
+def test_carworld_renders(tmp_path):
+    """CarWorld/CarWithObstacles equivalent (car/vis.py:10-66) renders
+    headlessly."""
+    from bayesian_cbf_tpu.observability.carworld import (
+        CarWithObstacles, render_car_trajectory)
+    w = CarWithObstacles()
+    w.setGoal(3.0, 1.0)
+    w.addObstacle(1.5, 0.5, 0.4)
+    w.setCarPose(0.0, 0.0, 0.3)
+    out = w.show(savefile=str(tmp_path / "scene.png"))
+    import os.path as osp
+    assert osp.getsize(out) > 1000
+    w.close()
+    X = np.stack([np.linspace(0, 3, 30), np.linspace(0, 1, 30),
+                  np.full(30, 0.3)], -1)
+    gif = render_car_trajectory(X, obstacles=[(1.5, 0.5, 0.4)],
+                                goal=(3.0, 1.0),
+                                savefile=str(tmp_path / "car.gif"))
+    assert osp.getsize(gif) > 1000

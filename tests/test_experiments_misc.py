@@ -110,3 +110,24 @@ def test_harness_run_experiment(tmp_path):
     cfg = json.load(open(osp.join(run_dir, "config.json")))
     assert cfg["numSteps"] == 30
     assert "obstacles" in cfg and len(cfg["obstacles"]) == 2
+
+
+def test_covariance_ellipse_analysis(tmp_path):
+    """Covariance-ellipse analysis figures
+    (visualize/unicycle_covariances.py parity): MVGP blocks are Bk kron A
+    (rank-deficient projections allowed), CoGP blocks are full; both
+    render to 3x3 projection grids."""
+    import os.path as osp
+    from bayesian_cbf_tpu.observability.covariances import (
+        unicycle_covariances_exp, unicycle_covariances_vis)
+    results, Xtest = unicycle_covariances_exp(
+        max_train=24, numSteps=96, dt=0.01, training_iter=8, n_test=2)
+    assert set(results) == {"matrix", "vector"}
+    for name, blocks in results.items():
+        assert blocks.shape == (2, 9, 9)
+        assert np.all(np.isfinite(blocks))
+        w = np.linalg.eigvalsh(0.5 * (blocks[0] + blocks[0].T))
+        assert w.min() > -1e-6
+    paths = unicycle_covariances_vis(results, savedir=str(tmp_path))
+    for p in paths:
+        assert osp.getsize(p) > 1000
