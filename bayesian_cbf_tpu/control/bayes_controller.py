@@ -61,7 +61,7 @@ class BayesCLFControllerConfig(NamedTuple):
     # (x, s, z) and run fewer Mehrotra iterations (the problem data moves
     # by O(dt) per step).  Enabled by the rollout layer when warm_start.
     warm_start: bool = False
-    socp_iters_warm: int = 10
+    socp_iters_warm: int = 15
 
     @property
     def rho(self) -> float:
@@ -180,8 +180,12 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
     dims = tuple(dims)
     cobj = jnp.zeros((nvar,), dtype).at[m + 1].set(1.0)
 
-    iters = cfg.socp_iters if warm is None else cfg.socp_iters_warm
-    sol = solve_socp(cobj, G, h, dims, iters=iters, warm=warm)
+    # mean-only (near-0.5-risk) problems are tiny LPs where warm-started
+    # reduced-iteration solves measurably hurt f32 feasibility (TPU diag,
+    # round 2) and save nothing — solve those cold at full iterations
+    use_warm = None if mean_only else warm
+    iters = cfg.socp_iters if use_warm is None else cfg.socp_iters_warm
+    sol = solve_socp(cobj, G, h, dims, iters=iters, warm=use_warm)
     # dtype-aware feasibility gate: the f32 IPM plateaus near 1e-4 relative
     # primal residual on well-posed problems; gating it at the f64 tolerance
     # would spuriously reject ~half the steps

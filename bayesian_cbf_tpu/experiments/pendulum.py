@@ -129,6 +129,53 @@ def run_pendulum_online_learning(sim: PendulumOnlineSim,
     return X, U, Xdot, info
 
 
+def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
+    """Batched Monte-Carlo online-learning episodes as ONE scan-of-vmap
+    (new capability vs the reference's strictly single-rollout loop,
+    pendulum.py:164-252) — the same hoisting as the unicycle batch runner:
+    the per-episode GP refit stays behind a *scalar* lax.cond on the step
+    index, so it runs only on scheduled steps instead of lowering to a
+    per-step `select` under vmap.  Returns (X, U, Xdot, info) with a
+    leading batch dim."""
+    x0s = jnp.asarray(x0s)
+    B = x0s.shape[0]
+    key = jax.random.PRNGKey(seed)
+    kd, ks = jax.random.split(key)
+    dyn_states = jax.vmap(
+        lambda k: sim.learned.init_state(k, dtype=x0s.dtype))(
+            jax.random.split(kd, B))
+    ekeys = jax.random.split(ks, B)
+    lrn = sim.learned
+
+    def step(carry, t):
+        X, states, keys = carry
+
+        def one(x, st, k):
+            k, ke = jax.random.split(k)
+            u_ref = sim.lqr.control_with_model(
+                lambda xx: lrn.f_func(st, xx),
+                lambda xx: lrn.g_func(st, xx), x, t)
+            u_ref = sim.egreedy.perturb(u_ref, t, ke)
+            u, info = sim._control(st, u_ref, x)
+            st = lrn.record(st, x, u)
+            x_next, xdot = sim.true_dynamics.step(x, u, sim.dt)
+            return x_next, u, xdot, info, st, k
+
+        X_next, U, Xdot, info, states, keys = jax.vmap(one)(X, states, keys)
+        states = jax.lax.cond(lrn.should_fit_at(t),
+                              jax.vmap(lrn.fit_now), lambda s: s, states)
+        return (X_next, states, keys), (X, U, Xdot, info)
+
+    def run(x0s, dyn_states, ekeys):
+        _, out = jax.lax.scan(step, (x0s, dyn_states, ekeys),
+                              jnp.arange(sim.numSteps))
+        return out
+
+    X, U, Xdot, info = jax.jit(run)(x0s, dyn_states, ekeys)
+    swap = lambda a: jnp.swapaxes(a, 0, 1)
+    return (swap(X), swap(U), swap(Xdot), jax.tree.map(swap, info))
+
+
 # ---------------------------------------------------------------------------
 # ground-truth CLF-CBF QP controller (PendulumCBFCLFDirect)
 # ---------------------------------------------------------------------------

@@ -50,7 +50,7 @@ def make_ackermann_tracking_sim(
         frac_time_to_reach_goal: float = 0.95,
         socp_iters: int = 25,
         warm_start: bool = False,
-        socp_iters_warm: int = 10) -> UnicycleSim:
+        socp_iters_warm: int = 15) -> UnicycleSim:
     """track_trajectory_ackerman_clf_bayesian equivalent
     (unicycle_move_to_pose.py:1689-1734)."""
     x0 = jnp.asarray(x0)

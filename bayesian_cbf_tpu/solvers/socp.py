@@ -268,6 +268,18 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
         wx, wS, wZ = (w.astype(dtype) for w in warm)
         ok = (jnp.all(jnp.isfinite(wx)) & jnp.all(jnp.isfinite(wS))
               & jnp.all(jnp.isfinite(wZ)))
+        wx = jnp.where(ok, wx, x0)
+        wS = jnp.where(ok, wS, e)
+        wZ = jnp.where(ok, wZ, e)
+        # staleness gate: a warm point is only useful if it is already
+        # near-feasible for TODAY'S problem (the previous step's data moved
+        # by O(dt)).  A previous solve that failed — or a problem jump
+        # (e.g. a GP refit) — leaves a high-residual point that would
+        # poison every subsequent warm-started solve in the scan chain;
+        # reset those to the cold start.  Scored on the RAW carried point:
+        # the interiority shift below perturbs the primal residual by the
+        # shift size, which must not count against the gate.
+        ok = ok & (_score(wx, wS, wZ) < 0.05)
         sx = jnp.where(ok, wx, x0)
         sS = jnp.where(ok, _interior_shift(wS), e)
         sZ = jnp.where(ok, _interior_shift(wZ), e)

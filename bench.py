@@ -44,7 +44,7 @@ def main():
         kernel_diag_A=(1.0, 1.0, 1.0), max_risk=0.01,
         enable_learning=True, train_every_n_steps=train_every,
         max_train=max_train, training_iter=training_iter,
-        socp_iters=25, warm_start=warm, socp_iters_warm=10)
+        socp_iters=25, warm_start=warm, socp_iters_warm=15)
 
     dtype = jnp.float64 if platform == "cpu" else jnp.float32
     x0 = jnp.asarray(STATE_START, dtype)

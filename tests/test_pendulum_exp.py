@@ -120,3 +120,21 @@ def test_online_learning_closed_form_matches_gp_path():
     Xg, Ug, _, _ = run_pendulum_online_learning(simg)
     np.testing.assert_allclose(np.asarray(Uc), np.asarray(Ug), atol=1e-6)
     np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xg), atol=1e-7)
+
+
+def test_pendulum_batched_runner():
+    """Batched scan-of-vmap pendulum episodes: finite, safe, and the GP
+    refit stays behind a scalar cond (would OOM-slow otherwise)."""
+    from bayesian_cbf_tpu.experiments.pendulum import (
+        run_pendulum_online_batch)
+    sim = make_pendulum_online_sim(numSteps=30, max_train=10,
+                                   training_iter=4, train_every_n_steps=10,
+                                   socp_iters=15)
+    x0s = jnp.asarray([[7 * math.pi / 12, 0.0],
+                       [7 * math.pi / 12 + 0.05, 0.0],
+                       [7 * math.pi / 12 - 0.05, 0.0]])
+    X, U, Xdot, info = run_pendulum_online_batch(sim, x0s)
+    assert X.shape == (3, 30, 2) and U.shape == (3, 30, 1)
+    assert bool(jnp.all(jnp.isfinite(X)))
+    for b in range(3):
+        assert float(pendulum_damage_fraction(X[b, :, 0])) == 0.0
