@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Round-2 TPU measurement batch.  Runs on the real chip (default axon
 platform, float32 fast path) and appends one JSON record per item to
-data/tpu_round2.jsonl so partial progress survives the remote-compile
+records/tpu_round2.jsonl so partial progress survives the remote-compile
 service's intermittent failures.
 
 Items:
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "data", "tpu_round2.jsonl")
+                   "records", "tpu_round2.jsonl")
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 DONE = set()
 if os.path.exists(OUT):
