@@ -1,3 +1,5 @@
-from .mesh import make_mesh, batched_rollouts, rollout_safety_stats
+from .mesh import (make_mesh, batched_rollouts, rollout_safety_stats,
+                   sharded_predict_fullmat)
 
-__all__ = ["make_mesh", "batched_rollouts", "rollout_safety_stats"]
+__all__ = ["make_mesh", "batched_rollouts", "rollout_safety_stats",
+           "sharded_predict_fullmat"]

@@ -51,6 +51,32 @@ def batched_rollouts(sim: UnicycleSim, x0s, keys, mesh: Optional[Mesh] = None):
     return fn(x0s, keys)
 
 
+def sharded_predict_fullmat(gp, params, data, cache, Xtest,
+                            mesh: Optional[Mesh] = None,
+                            axis="tp"):
+    """Tensor-parallel batched posterior: shard the test-point axis of
+    `predict_fullmat` over the mesh.
+
+    This is the second (non-batch) parallel axis of the workload: the
+    full posterior covariance is Bk(X*, X*') kron A with Bk quadratic in
+    the number of test points, so sharding X* row-blocks distributes both
+    the O(k^2 b (1+m)) solves and the O(b^2 (1+m)^2) cross-covariance;
+    XLA inserts the all-gather of the kb* blocks over ICI itself.  `axis`
+    may be a tuple of mesh axes (e.g. ("dp", "tp")) to shard over the
+    whole mesh.  b must be divisible by the sharded axis size."""
+    if mesh is None:
+        mesh = make_mesh(axis_names=("tp",))
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    Xtest = jax.device_put(jnp.asarray(Xtest), shard)
+    put_rep = lambda t: jax.tree.map(lambda a: jax.device_put(a, rep), t)
+    params = put_rep(params)
+    data = put_rep(data)
+    cache = put_rep(cache)
+    fn = jax.jit(lambda p, d, c, xt: gp.predict_fullmat(p, d, c, xt))
+    return fn(params, data, cache, Xtest)
+
+
 def rollout_safety_stats(outs, cbf_centers, cbf_radii, x_goal):
     """On-device aggregate metrics over a (possibly sharded) batch of
     rollouts: collision fraction, mean final goal distance, min clearance.

@@ -35,3 +35,55 @@ def test_sharded_batch_rollouts():
     for v in stats.values():
         assert np.isfinite(float(v))
     assert float(stats["collision_fraction"]) == 0.0
+
+
+def test_sharded_predict_fullmat_matches_single_device():
+    """Tensor-parallel posterior (test-axis sharded over the mesh) must
+    match the unsharded evaluation."""
+    import numpy as np
+    from bayesian_cbf_tpu.models.mvgp import make_mvgp
+    from bayesian_cbf_tpu.parallel.mesh import (make_mesh,
+                                                sharded_predict_fullmat)
+    rng = np.random.default_rng(3)
+    K, b = 24, 16
+    X = jnp.asarray(rng.normal(size=(K, 3)))
+    U = jnp.asarray(rng.normal(size=(K, 2)))
+    Xdot = jnp.asarray(rng.normal(size=(K, 3)))
+    Xtest = jnp.asarray(rng.normal(size=(b, 3)))
+    gp = make_mvgp(3, 2)
+    params = gp.init_params(jax.random.PRNGKey(0))
+    data = gp.make_data(X, U, Xdot)
+    cache = gp.refresh_cache(params, data)
+    mean_ref, var_ref = gp.predict_fullmat(params, data, cache, Xtest)
+    mesh = make_mesh(axis_names=("tp",))
+    mean_sh, var_sh = sharded_predict_fullmat(gp, params, data, cache,
+                                              Xtest, mesh)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var_ref),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_predict_on_2d_mesh():
+    """dp x tp 2D mesh: grid sharded over both axes jointly."""
+    import numpy as np
+    from bayesian_cbf_tpu.models.mvgp import make_mvgp
+    from bayesian_cbf_tpu.parallel.mesh import sharded_predict_fullmat
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+    rng = np.random.default_rng(4)
+    gp = make_mvgp(2, 1)
+    params = gp.init_params(jax.random.PRNGKey(1))
+    data = gp.make_data(jnp.asarray(rng.normal(size=(12, 2))),
+                        jnp.asarray(rng.normal(size=(12, 1))),
+                        jnp.asarray(rng.normal(size=(12, 2))))
+    cache = gp.refresh_cache(params, data)
+    Xtest = jnp.asarray(rng.normal(size=(16, 2)))
+    mean_ref, var_ref = gp.predict_fullmat(params, data, cache, Xtest)
+    mean_sh, var_sh = sharded_predict_fullmat(gp, params, data, cache,
+                                              Xtest, mesh,
+                                              axis=("dp", "tp"))
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var_ref),
+                               rtol=1e-9, atol=1e-12)
