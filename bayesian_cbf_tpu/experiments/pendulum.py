@@ -48,7 +48,7 @@ class PendulumOnlineSim(NamedTuple):
     dt: float
     numSteps: int
 
-    def step(self, carry, t):
+    def _step_impl(self, carry, t, learn_fn):
         x, dyn_state, key = carry
         key, ke = jax.random.split(key)
         # epsilon-greedy LQR reference control on the learned mean dynamics
@@ -57,9 +57,18 @@ class PendulumOnlineSim(NamedTuple):
             lambda xx: self.learned.g_func(dyn_state, xx), x, t)
         u_ref = self.egreedy.perturb(u_ref, t, ke)
         u, info = self._control(dyn_state, u_ref, x)
-        dyn_state = self.learned.observe(dyn_state, x, u)
+        dyn_state = learn_fn(dyn_state, x, u)
         x_next, xdot = self.true_dynamics.step(x, u, self.dt)
         return (x_next, dyn_state, key), (x, u, xdot, info)
+
+    def step(self, carry, t):
+        """Self-contained step (in-graph refit cond)."""
+        return self._step_impl(carry, t, self.learned.observe)
+
+    def step_no_fit(self, carry, t):
+        """Buffer-recording step; refits run between segment scans on the
+        static schedule (sim.rollout.fit_segments)."""
+        return self._step_impl(carry, t, self.learned.record)
 
     def _control(self, dyn_state, u_ref, x):
         """Build the (f, fu) pair per u so cross-covariances stay linked."""
@@ -115,28 +124,43 @@ def make_pendulum_online_sim(
 def run_pendulum_online_learning(sim: PendulumOnlineSim,
                                  theta0=7 * math.pi / 12, omega0=0.0,
                                  seed=0):
+    from ..sim.rollout import fit_segments
     x0 = jnp.asarray([theta0, omega0])
     key = jax.random.PRNGKey(seed)
     kd, ks = jax.random.split(key)
     dyn_state = sim.learned.init_state(kd, dtype=x0.dtype)
+    segs = fit_segments(sim.numSteps, sim.learned.train_every_n_steps,
+                        sim.learned.enable_learning)
 
     def run(x0, dyn_state, ks):
-        carry, out = jax.lax.scan(sim.step, (x0, dyn_state, ks),
-                                  jnp.arange(sim.numSteps))
-        return out
+        carry = (x0, dyn_state, ks)
+        ys = []
+        for (s, e, do_fit) in segs:
+            carry, y = jax.lax.scan(sim.step_no_fit, carry,
+                                    jnp.arange(s, e))
+            ys.append(y)
+            if do_fit:
+                x, st, k = carry
+                fitted = sim.learned.fit_now(st)
+                st = jax.tree.map(
+                    lambda a, b: jnp.where(st.count_res > 0, a, b),
+                    fitted, st)
+                carry = (x, st, k)
+        return jax.tree.map(lambda *a: jnp.concatenate(a, 0), *ys)
 
     X, U, Xdot, info = jax.jit(run)(x0, dyn_state, ks)
     return X, U, Xdot, info
 
 
 def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
-    """Batched Monte-Carlo online-learning episodes as ONE scan-of-vmap
-    (new capability vs the reference's strictly single-rollout loop,
-    pendulum.py:164-252) — the same hoisting as the unicycle batch runner:
-    the per-episode GP refit stays behind a *scalar* lax.cond on the step
-    index, so it runs only on scheduled steps instead of lowering to a
-    per-step `select` under vmap.  Returns (X, U, Xdot, info) with a
-    leading batch dim."""
+    """Batched Monte-Carlo online-learning episodes as scan-of-vmap with
+    segmented refits (new capability vs the reference's strictly
+    single-rollout loop, pendulum.py:164-252).  The per-episode GP refit
+    runs *between* segment scans on the static schedule
+    (sim.rollout.fit_segments), so it can never lower to a per-step
+    select under vmap.  Returns (X, U, Xdot, info) with a leading batch
+    dim."""
+    from ..sim.rollout import _where_tree, fit_segments
     x0s = jnp.asarray(x0s)
     B = x0s.shape[0]
     key = jax.random.PRNGKey(seed)
@@ -162,14 +186,23 @@ def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
             return x_next, u, xdot, info, st, k
 
         X_next, U, Xdot, info, states, keys = jax.vmap(one)(X, states, keys)
-        states = jax.lax.cond(lrn.should_fit_at(t),
-                              jax.vmap(lrn.fit_now), lambda s: s, states)
         return (X_next, states, keys), (X, U, Xdot, info)
 
+    segs = fit_segments(sim.numSteps, lrn.train_every_n_steps,
+                        lrn.enable_learning)
+
     def run(x0s, dyn_states, ekeys):
-        _, out = jax.lax.scan(step, (x0s, dyn_states, ekeys),
-                              jnp.arange(sim.numSteps))
-        return out
+        carry = (x0s, dyn_states, ekeys)
+        ys = []
+        for (s, e, do_fit) in segs:
+            carry, y = jax.lax.scan(step, carry, jnp.arange(s, e))
+            ys.append(y)
+            if do_fit:
+                X, states, keys = carry
+                fitted = jax.vmap(lrn.fit_now)(states)
+                states = _where_tree(states.count_res > 0, fitted, states)
+                carry = (X, states, keys)
+        return jax.tree.map(lambda *a: jnp.concatenate(a, 0), *ys)
 
     X, U, Xdot, info = jax.jit(run)(x0s, dyn_states, ekeys)
     swap = lambda a: jnp.swapaxes(a, 0, 1)

@@ -66,11 +66,7 @@ class UnicycleSim(NamedTuple):
                                      jnp.asarray(0), warm=w0)
         return w0
 
-    def step(self, carry, t):
-        """One control step: plan -> cones -> SOCP -> record/learn -> Euler.
-
-        The carry optionally ends with the IPM warm-start state (previous
-        step's (x, s, z)) when controller.warm_start is set."""
+    def _step_impl(self, carry, t, learn_fn):
         warm = carry[2] if len(carry) == 3 else None
         x, dyn_state = carry[0], carry[1]
         mom = self.learned_dynamics.moments(dyn_state, x)
@@ -78,20 +74,82 @@ class UnicycleSim(NamedTuple):
                                 self.planner, lambda _: mom, x, t, warm=warm)
         u, info = out[0], out[1]
         knl = self.learned_dynamics.kernel_channels(dyn_state, mom, u)
-        # online learning: record (x, u) and refit on schedule
-        # (reference calls dynamics.train(x, uopt) inside control(),
-        #  unicycle_move_to_pose.py:993-994)
-        dyn_state = self.learned_dynamics.observe(dyn_state, x, u)
+        # online learning: record (x, u); refits happen on the reference's
+        # schedule (dynamics.train, unicycle_move_to_pose.py:993-994) —
+        # either in-graph (observe) or between segment scans (record +
+        # fit_segments), see _simulate_unicycle
+        dyn_state = learn_fn(dyn_state, x, u)
         x_next, xdot = self.true_dynamics.step(x, u, self.dt)
         if warm is None:
             return (x_next, dyn_state), (x, u, xdot, info, knl)
         return (x_next, dyn_state, out[2]), (x, u, xdot, info, knl)
 
+    def step(self, carry, t):
+        """One control step: plan -> cones -> SOCP -> record/learn -> Euler,
+        with the scheduled refit behind an in-graph cond (self-contained,
+        used by the driver entry; the rollout runners use step_no_fit +
+        segmented fits instead — see fit_segments).
+
+        The carry optionally ends with the IPM warm-start state (previous
+        step's (x, s, z)) when controller.warm_start is set."""
+        return self._step_impl(carry, t, self.learned_dynamics.observe)
+
+    def step_no_fit(self, carry, t):
+        """step() without the in-graph refit cond (buffer recording only)."""
+        return self._step_impl(carry, t, self.learned_dynamics.record)
+
+
+def fit_segments(numSteps: int, train_every: int, enable: bool):
+    """Static refit schedule: [(start, end_exclusive, fit_after), ...].
+
+    The reference fits when the step index is a positive multiple of
+    train_every (unicycle_move_to_pose.py:341-344) — a STATIC schedule.
+    Cutting the rollout scan at those boundaries and running the fit
+    *between* segment scans executes it exactly on the scheduled steps by
+    construction, independent of how the backend lowers conditionals (a
+    vmapped cond lowers to select and runs both branches; a scalar cond
+    branches, but only if the compiler keeps it).  Measured on-chip this
+    matches the scalar-cond design's wall time while making the schedule
+    cost explicit: each fit event costs ~training_iter x 24 ms at
+    batch=256, k=200 — the dominant term of the flagship loop."""
+    if not enable or train_every <= 0:
+        return [(0, numSteps, False)]
+    segs = []
+    start = 0
+    for b in range(train_every, numSteps, train_every):
+        segs.append((start, b + 1, True))
+        start = b + 1
+    if start < numSteps:
+        segs.append((start, numSteps, False))
+    return segs
+
+
+def _where_tree(keep, a_tree, b_tree):
+    """Per-rollout select over batched pytrees (keep: (B,) bool)."""
+    def sel(a, b):
+        k = keep.reshape(keep.shape + (1,) * (a.ndim - 1))
+        return jnp.where(k, a, b)
+    return jax.tree.map(sel, a_tree, b_tree)
+
 
 def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
+    lrn = sim.learned_dynamics
     carry = sim.init_state(x0, key)
-    carry, (X, U, Xdot, info, knl) = jax.lax.scan(
-        sim.step, carry, jnp.arange(sim.numSteps))
+    segs = fit_segments(sim.numSteps, lrn.train_every_n_steps,
+                        lrn.enable_learning)
+    ys = []
+    for (s, e, do_fit) in segs:
+        carry, y = jax.lax.scan(sim.step_no_fit, carry, jnp.arange(s, e))
+        ys.append(y)
+        if do_fit:
+            dyn_state = carry[1]
+            fitted = lrn.fit_now(dyn_state)
+            dyn_state = jax.tree.map(
+                lambda a, b: jnp.where(dyn_state.count_res > 0, a, b),
+                fitted, dyn_state)
+            carry = (carry[0], dyn_state) + tuple(carry[2:])
+    X, U, Xdot, info, knl = jax.tree.map(
+        lambda *a: jnp.concatenate(a, 0), *ys)
     return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
 
 
@@ -122,17 +180,17 @@ def sample_generator_independent(dynamics, key, n, x_lo, x_hi, u_lo, u_hi):
 
 
 def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
-    """Batched episodes as ONE scan-of-vmap (not vmap-of-scan).
+    """Batched episodes as scan-of-vmap with SEGMENTED refits.
 
-    Crucial for throughput: the per-step GP-refit `lax.cond` has a
-    batch-uniform predicate (the schedule depends only on t), but a vmapped
-    cond lowers to `select` and would execute the Adam fit loop at every
-    step for every rollout.  Scanning time outside and vmapping the batch
-    inside keeps the fit behind a *scalar* cond: it runs only on the
-    scheduled steps."""
+    The batch axis vmaps inside the time scan (scan-of-vmap), and the
+    time scan itself is cut at the static refit boundaries so the
+    per-rollout Adam fit executes exactly on the scheduled steps by
+    construction (see fit_segments) — in particular it can never lower
+    to a per-step select under vmap."""
     B = x0s.shape[0]
+    lrn = sim.learned_dynamics
     init_states = jax.vmap(
-        lambda k: sim.learned_dynamics.init_state(k, dtype=x0s.dtype))(keys)
+        lambda k: lrn.init_state(k, dtype=x0s.dtype))(keys)
     warm_on = sim.controller.warm_start
     if warm_on:
         init_warms = jax.vmap(sim._warm0)(x0s, init_states)
@@ -145,28 +203,35 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
         X, states, warms = carry
 
         def one(x, st, w):
-            mom = sim.learned_dynamics.moments(st, x)
+            mom = lrn.moments(st, x)
             out = bayes_clf_control(sim.controller, sim.clf, sim.cbfs,
                                     sim.planner, lambda _: mom, x, t,
                                     warm=(w if warm_on else None))
             u, info = out[0], out[1]
             w = out[2] if warm_on else w
-            knl = sim.learned_dynamics.kernel_channels(st, mom, u)
-            st = sim.learned_dynamics.record(st, x, u)
+            knl = lrn.kernel_channels(st, mom, u)
+            st = lrn.record(st, x, u)
             x_next, xdot = sim.true_dynamics.step(x, u, sim.dt)
             return x_next, u, xdot, info, st, w, knl
 
         X_next, U, Xdot, info, states, warms, knl = jax.vmap(one)(
             X, states, warms)
-        states = jax.lax.cond(
-            sim.learned_dynamics.should_fit_at(t),
-            jax.vmap(sim.learned_dynamics.fit_now),
-            lambda s: s, states)
         return (X_next, states, warms), (X, U, Xdot, info, knl)
 
+    segs = fit_segments(sim.numSteps, lrn.train_every_n_steps,
+                        lrn.enable_learning)
     carry = (x0s, init_states, init_warms)
-    _, (X, U, Xdot, info, knl) = jax.lax.scan(step, carry,
-                                              jnp.arange(sim.numSteps))
+    ys = []
+    for (s, e, do_fit) in segs:
+        carry, y = jax.lax.scan(step, carry, jnp.arange(s, e))
+        ys.append(y)
+        if do_fit:
+            X, states, warms = carry
+            fitted = jax.vmap(lrn.fit_now)(states)
+            states = _where_tree(states.count_res > 0, fitted, states)
+            carry = (X, states, warms)
+    X, U, Xdot, info, knl = jax.tree.map(
+        lambda *a: jnp.concatenate(a, 0), *ys)
     # -> outputs with leading batch dim (B, T, ...)
     swap = lambda a: jnp.swapaxes(a, 0, 1)
     return RolloutOutputs(X=swap(X), U=swap(U), Xdot=swap(Xdot),
