@@ -195,15 +195,19 @@ class MVGP(NamedTuple):
         # any step whose factorization fails — paying the 9-rung batched
         # ladder per MLL evaluation was the dominant cost of the whole
         # flagship rollout (the refit phase measured 70% of bench wall).
+        # chol_with_inv carries the explicit L^{-1} so both the quad-form
+        # forward and the entire Cholesky backward are matmuls — TPU
+        # triangular-solve autodiff was the next-dominant refit term.
+        from ..ops.cholinv import chol_with_inv
         m = data.mask.astype(Y.dtype)
         outer = m[:, None] * m[None, :]
         eye = jnp.eye(data.X.shape[0], dtype=Y.dtype)
         Km = (self.gram_kb(params, data) * outer
               + eye * (1.0 - m)[:, None])
-        Lb = jnp.linalg.cholesky(Km)
+        Lb, Lbinv = chol_with_inv(Km)
         _, LA = psd_cholesky(params.A, init_jitter=self.jitter)
         # tr(A^{-1} Y^T Kb^{-1} Y) = || LA^{-1} (Lb^{-1} Y)^T ||_F^2
-        KinvY = jax.scipy.linalg.solve_triangular(Lb, Y, lower=True)
+        KinvY = Lbinv @ Y
         AinvYt = jax.scipy.linalg.solve_triangular(LA, KinvY.T, lower=True)
         quad = jnp.sum(AinvYt * AinvYt)
         # masked rows contribute log(1) = 0 to logdet Kb; the tiny-floor

@@ -1,0 +1,60 @@
+"""Cholesky-with-explicit-inverse as one differentiable op.
+
+Motivation (measured on chip, rollout-scale slopes — see PARITY.md): the
+MLL refit is the flagship loop's dominant term at ~24 ms per vmapped Adam
+iteration (batch=256, k=200), and TPU triangular solves are the slow
+part: XLA's autodiff of `cholesky` runs two triangular solves per
+backward pass, each a latency-bound blocked loop.
+
+`chol_with_inv(K) -> (L, Linv)` computes the factor AND its explicit
+inverse in the forward pass (one solve-against-identity), then defines a
+custom VJP that is PURE MATMULS:
+
+    vjp wrt Linv:  dL += -Linv^T dLinv Linv^T        (inverse rule)
+    vjp wrt L:     dK  = Linv^T Phi(L^T dL) Linv     (Murray 2016),
+                   Phi = tril with halved diagonal, symmetrized output
+
+so the whole fit backward touches no triangular solve.  Downstream code
+(posterior solves, quad forms) uses Linv matmuls on the MXU, which the
+inference cache already does (MVGPCache.Linv).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def chol_with_inv(K):
+    """(L, Linv) for PSD K (..., n, n); differentiable, matmul-only VJP."""
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return L, Linv
+
+
+def _fwd(K):
+    L, Linv = chol_with_inv(K)
+    return (L, Linv), (L, Linv)
+
+
+def _phi(M):
+    """tril with halved diagonal (the Cholesky-VJP weighting)."""
+    return jnp.tril(M) - 0.5 * jnp.tril(jnp.triu(M))
+
+
+def _bwd(res, cts):
+    L, Linv = res
+    dL, dLinv = cts
+    dL = jnp.zeros_like(L) if dL is None else dL
+    if dLinv is not None:
+        # d inv(L) = -Linv dL Linv  =>  cotangent into L
+        dL = dL - jnp.swapaxes(Linv, -1, -2) @ dLinv \
+            @ jnp.swapaxes(Linv, -1, -2)
+    M = _phi(jnp.swapaxes(L, -1, -2) @ dL)
+    dK = jnp.swapaxes(Linv, -1, -2) @ M @ Linv
+    dK = 0.5 * (dK + jnp.swapaxes(dK, -1, -2))
+    return (dK,)
+
+
+chol_with_inv.defvjp(_fwd, _bwd)
