@@ -17,20 +17,58 @@ custom VJP that is PURE MATMULS:
 so the whole fit backward touches no triangular solve.  Downstream code
 (posterior solves, quad forms) uses Linv matmuls on the MXU, which the
 inference cache already does (MVGPCache.Linv).
+
+When the surrounding computation is vmapped (the batched Monte-Carlo
+refit), a custom-vmap rule dispatches the forward to the Pallas blocked
+factorization kernel (ops/pallas_chol.py) on TPU f32 — XLA's batched
+cholesky/triangular_solve are the latency-bound ops it replaces.  Set
+`cholinv.USE_PALLAS = False` to force the XLA path (tests compare both).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
+
+# None = auto (Pallas on TPU f32 under vmap); True/False force
+USE_PALLAS = None
+
+_PALLAS_MAX_N = 512
+
+
+def _ref_fwd(K):
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(eye, K.shape), lower=True)
+    return L, Linv
+
+
+@custom_batching.custom_vmap
+def _chol_inv_core(K):
+    """(L, Linv) for a single (n, n) PSD matrix."""
+    return _ref_fwd(K)
+
+
+@_chol_inv_core.def_vmap
+def _chol_inv_vmap_rule(axis_size, in_batched, K):
+    use = USE_PALLAS
+    if use is None:
+        use = (jax.default_backend() == "tpu"
+               and K.dtype == jnp.float32
+               and K.shape[-1] <= _PALLAS_MAX_N)
+    if use:
+        from .pallas_chol import batched_chol_with_inv
+        out = batched_chol_with_inv(K)
+    else:
+        out = _ref_fwd(K)
+    return out, (True, True)
 
 
 @jax.custom_vjp
 def chol_with_inv(K):
     """(L, Linv) for PSD K (..., n, n); differentiable, matmul-only VJP."""
-    L = jnp.linalg.cholesky(K)
-    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return L, Linv
+    return _chol_inv_core(K) if K.ndim == 2 else _ref_fwd(K)
 
 
 def _fwd(K):

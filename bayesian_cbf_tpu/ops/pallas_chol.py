@@ -1,0 +1,162 @@
+"""Pallas TPU kernel: batched blocked Cholesky with diagonal-block
+inverses.
+
+XLA's TPU `cholesky` and `triangular_solve` lower to latency-bound
+blocked loops; at the flagship refit shape (batch=256, K=200) they
+dominate the MLL Adam iteration (rollout-scale slope measurements,
+PARITY.md).  This kernel factors a CHUNK of the batch at once so the
+inner column recurrence is vectorized across the batch on the VPU
+(every step is a full (CB, nb, nb) masked rank-1 update — no dynamic
+slicing), and the panel/trailing block updates run on the MXU.  The
+diagonal-block inverses are accumulated Gauss-Jordan style during the
+factorization (same masked rank-1 ops), so no triangular solve appears
+anywhere; the full L^{-1} is assembled outside the kernel from the
+block inverses with batched matmuls.
+
+Layout: N padded to a multiple of nb=128 with identity diagonal
+(Cholesky of blockdiag(A, I) = blockdiag(chol A, I)); batch padded to a
+multiple of the chunk CB.  f32 only (the TPU fast path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NB_BLK = 128      # factorization block (= MXU/lane width)
+CHUNK = 8         # batch elements factored together per grid cell
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _factor_block(D, tiny):
+    """Vectorized-over-batch unblocked Cholesky of (CB, nb, nb) PSD blocks
+    plus their inverses, via masked full-width rank-1 updates (no dynamic
+    slicing — TPU-friendly)."""
+    CB, nb, _ = D.shape
+    f32 = D.dtype
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)      # row index
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)      # col index
+    X0 = (ri == ci.reshape(nb, 1).T).astype(f32)              # I (nb, nb)
+    X0 = jnp.broadcast_to(X0[None], (CB, nb, nb))
+
+    def body(i, carry):
+        M, X = carry
+        onehot_c = (ci == i).astype(f32)                      # (1, nb)
+        onehot_r = (ri == i).astype(f32)                      # (nb, 1)
+        # current column i and pivot
+        # Mosaic layout constraints: no rank-1 arrays and no axis=(1,2)
+        # double reductions — compute the pivot via two single-axis
+        # masked reductions with rsqrt applied on a full row
+        rowi = jnp.sum(M * onehot_r[None], axis=1,
+                       keepdims=True)                         # (CB, 1, nb)
+        inv_row = jax.lax.rsqrt(jnp.maximum(rowi, tiny))
+        inv_s = jnp.sum(inv_row * onehot_c[None], axis=2,
+                        keepdims=True)                        # (CB, 1, 1)
+        col = jnp.sum(M * onehot_c[None], axis=2,
+                      keepdims=True)                          # (CB, nb, 1)
+        col = col * inv_s
+        Lcol = col * (ri >= i).astype(f32)[None]              # (CB, nb, 1)
+        LcolT = jnp.swapaxes(Lcol, 1, 2)                      # (CB, 1, nb)
+        gt_c = (ci > i).astype(f32)                           # (1, nb)
+        # trailing rank-1 update on columns > i, then write column i = Lcol
+        M = M - Lcol * LcolT * gt_c[None]
+        M = M * (1.0 - onehot_c)[None] + Lcol * onehot_c[None]
+        # Gauss-Jordan inverse: scale row i, eliminate rows > i
+        Xrow = jnp.sum(X * onehot_r[None], axis=1, keepdims=True)  # (CB,1,nb)
+        Xrow = Xrow * inv_s
+        X = X * (1.0 - onehot_r)[None] + Xrow * onehot_r[None]
+        strict = Lcol * (ri > i).astype(f32)[None]
+        X = X - strict * Xrow
+        return M, X
+
+    M, X = jax.lax.fori_loop(0, nb, body, (D, X0))
+    tril = (ri >= ci.reshape(nb, 1).T).astype(f32)
+    return M * tril[None], X
+
+
+def _chol_kernel(nblocks, k_ref, l_ref, dinv_ref):
+    """Grid cell: factor a (CB, N, N) chunk; write L and the (CB, N, nb)
+    stack of diagonal-block inverses."""
+    nb = NB_BLK
+    f32 = k_ref.dtype
+    tiny = jnp.full((1, 1, 1), 1e-12, f32)
+    W = k_ref[:]                                              # (CB, N, N)
+    l_ref[:] = jnp.zeros_like(W)
+
+    def bmm(a, b, transpose_b=False):
+        dims = (((2,), (2 if transpose_b else 1,)), ((0,), (0,)))
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
+    for j in range(nblocks):
+        o = j * nb
+        # W holds the (shrinking) trailing matrix — no in-place updates,
+        # which Mosaic would lower as scatters
+        D = W[:, :nb, :nb]
+        Lj, Xj = _factor_block(D, tiny)
+        l_ref[:, o:o + nb, o:o + nb] = Lj
+        dinv_ref[:, o:o + nb, :] = Xj
+        if j + 1 < nblocks:
+            P = W[:, nb:, :nb]                                # (CB, r, nb)
+            Lp = bmm(P, Xj, transpose_b=True)                 # P @ Xj^T
+            l_ref[:, o + nb:, o:o + nb] = Lp
+            W = W[:, nb:, nb:] - bmm(Lp, Lp, transpose_b=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def batched_chol_with_inv(K, interpret: bool = False):
+    """(L, Linv) for a batch K (B, n, n) of PSD matrices via the Pallas
+    factorization kernel; f32.  Returns exactly lower-triangular factors.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = K.shape
+    nb = NB_BLK
+    N = max(_round_up(n, nb), nb)
+    nblocks = N // nb
+    Bp = max(_round_up(B, CHUNK), CHUNK)
+    f32 = jnp.float32
+
+    Kp = jnp.zeros((Bp, N, N), f32)
+    Kp = Kp.at[:, jnp.arange(N), jnp.arange(N)].set(1.0)      # identity pad
+    Kp = Kp.at[:B, :n, :n].set(K.astype(f32))
+
+    grid = (Bp // CHUNK,)
+    L, Dinv = pl.pallas_call(
+        functools.partial(_chol_kernel, nblocks),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((Bp, N, N), f32),
+                   jax.ShapeDtypeStruct((Bp, N, nb), f32)),
+        in_specs=[pl.BlockSpec((CHUNK, N, N), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((CHUNK, N, N), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((CHUNK, N, nb), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(Kp)
+
+    # assemble Linv from block inverses (forward block substitution:
+    # Linv[r, j] = -Dinv_r (sum_{k=j}^{r-1} L[r, k] Linv[k, j]))
+    blocks = [[None] * nblocks for _ in range(nblocks)]
+    for j in range(nblocks):
+        blocks[j][j] = Dinv[:, j * nb:(j + 1) * nb, :]
+    for r in range(nblocks):
+        for j in range(r - 1, -1, -1):
+            acc = 0.0
+            for k in range(j, r):
+                acc = acc + L[:, r * nb:(r + 1) * nb,
+                              k * nb:(k + 1) * nb] @ blocks[k][j]
+            blocks[r][j] = -(blocks[r][r] @ acc)
+    zero = jnp.zeros((Bp, nb, nb), f32)
+    Linv = jnp.concatenate(
+        [jnp.concatenate([blocks[r][j] if j <= r else zero
+                          for j in range(nblocks)], axis=2)
+         for r in range(nblocks)], axis=1)
+    return (L[:B, :n, :n].astype(K.dtype),
+            Linv[:B, :n, :n].astype(K.dtype))
