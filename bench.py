@@ -34,7 +34,7 @@ def main():
     # sized to two refits inside the horizon; 2 obstacle CBC cones + CLC
     # cone + objective cone per step; warm-started IPM across the scan.
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    num_steps = int(os.environ.get("BENCH_STEPS", "800"))
+    num_steps = int(os.environ.get("BENCH_STEPS", "2000"))
     max_train = int(os.environ.get("BENCH_MAX_TRAIN", "200"))
     train_every = int(os.environ.get("BENCH_TRAIN_EVERY", "400"))
     training_iter = int(os.environ.get("BENCH_TRAINING_ITER", "100"))
