@@ -139,6 +139,54 @@ def _max_step(P, D):
     return jnp.clip(jnp.minimum(t_quad, t_head), 0.0, BIG)
 
 
+_UNROLL_MAX_N = 8
+
+
+def _chol_unrolled(H):
+    """Statically-unrolled Cholesky of a small (n, n) PD matrix.
+
+    Identical arithmetic to `cholesky`, but expressed as n(n+1)/2 scalar
+    ops instead of one LAPACK/XLA `cholesky` call: under the rollout
+    vmap+scan, XLA's batched small `cholesky` + `triangular_solve` lower
+    to latency-bound loop kernels that cannot fuse with the surrounding
+    cone algebra — the dominant cost of the IPM floor (NOTES_round2).
+    Scalar unrolling turns the whole KKT solve into one fused elementwise
+    chain.  n is a trace-time constant (nvar of the SOCP), <= 8 in every
+    controller in this package (unicycle nvar=4, pendulum nvar=4).
+    """
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            acc = H[..., i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(acc, _EPS))
+            else:
+                L[i][j] = acc / L[j][j]
+    return L
+
+
+def _chol_solve_unrolled(L, b):
+    """Solve (L L^T) x = b with statically-unrolled substitution.
+    `L` is the list-of-lists factor from `_chol_unrolled`; b is (..., n)."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        acc = b[..., i]
+        for k in range(i):
+            acc = acc - L[i][k] * y[k]
+        y[i] = acc / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k][i] * x[k]
+        x[i] = acc / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _interior_shift(S):
     """Re-center a (possibly boundary) point into the cone interior for
     warm starts: per cone, push the head coordinate up until the SOC
@@ -220,14 +268,19 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
             / (eta ** 2)[:, None, None]                    # (C, d, nx)
         H = jnp.einsum('cdn,cdm->nm', Gp, Winv2G)
         H = H + 1e-12 * jnp.trace(H) * jnp.eye(nx, dtype=dtype)
-        Hcho = jax.scipy.linalg.cho_factor(H)
+        if nx <= _UNROLL_MAX_N:
+            Lun = _chol_unrolled(H)
+            hsolve = partial(_chol_solve_unrolled, Lun)
+        else:
+            Hcho = jax.scipy.linalg.cho_factor(H)
+            hsolve = partial(jax.scipy.linalg.cho_solve, Hcho)
 
         def kkt_solve(Dscaled):
             """Dscaled (C,d) with  W dz + W^{-T} ds = -Dscaled."""
             rhs_cd = rz - _w_mul(Wb, eta, Dscaled)
             rhs = -rx - jnp.einsum('cdn,cd->n', Gp,
                                    _winv2_mul(Wb, eta, rhs_cd))
-            dx = jax.scipy.linalg.cho_solve(Hcho, rhs)
+            dx = hsolve(rhs)
             Gdx = jnp.einsum('cdn,n->cd', Gp, dx)
             dS = -rz - Gdx
             dZ = _winv2_mul(Wb, eta, Gdx + rhs_cd)

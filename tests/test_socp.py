@@ -136,3 +136,42 @@ def test_controller_shaped_socp():
     assert res.success
     np.testing.assert_allclose(float(sol.pcost), float(res.fun),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_unrolled_kkt_matches_lapack():
+    """The statically-unrolled small-system Cholesky path (nx <= 8) must
+    reproduce the cho_factor fallback to solver precision on the same
+    problem (solvers/socp.py `_chol_unrolled`)."""
+    from bayesian_cbf_tpu.solvers import socp as socp_mod
+    rng = np.random.default_rng(3)
+    nx = 5
+    c = jnp.array(rng.normal(size=nx))
+    constraints = []
+    for _ in range(3):
+        A = rng.normal(size=(3, nx))
+        b = rng.normal(size=3) * 0.1
+        cv = rng.normal(size=nx) * 0.1
+        d = 2.0 + rng.uniform()
+        constraints.append((jnp.array(A), jnp.array(b),
+                            jnp.array(cv), jnp.array(d)))
+    for i in range(nx):
+        ei = np.zeros(nx); ei[i] = 1.0
+        constraints.append((jnp.zeros((1, nx)), jnp.zeros((1,)),
+                            jnp.array(-ei), jnp.array(5.0)))
+        constraints.append((jnp.zeros((1, nx)), jnp.zeros((1,)),
+                            jnp.array(ei), jnp.array(5.0)))
+    G, h, dims = cones_from_constraints(constraints)
+
+    raw = solve_socp.__wrapped__          # un-jitted body, re-traces per call
+    sol_unrolled = raw(c, G, h, dims)
+    saved = socp_mod._UNROLL_MAX_N
+    try:
+        socp_mod._UNROLL_MAX_N = 0        # force the LAPACK path
+        sol_lapack = raw(c, G, h, dims)
+    finally:
+        socp_mod._UNROLL_MAX_N = saved
+    np.testing.assert_allclose(np.asarray(sol_unrolled.x),
+                               np.asarray(sol_lapack.x), atol=1e-8)
+    np.testing.assert_allclose(float(sol_unrolled.pcost),
+                               float(sol_lapack.pcost), atol=1e-8)
+    assert float(sol_unrolled.pres) < 1e-8
