@@ -42,12 +42,22 @@ class MetricsLogger:
     metrics.jsonl}."""
 
     def __init__(self, runs_dir="data/runs", exp_tags=(), config=None,
-                 stamp: Optional[str] = None):
+                 stamp: Optional[str] = None, backend: str = "jsonl"):
+        """backend="jsonl" (default, human-readable) or "binary" — the
+        native fastlog writer (observability/fastlog.py): same channel
+        set, ~binary-frame speed for big batched rollouts."""
         stamp = stamp or time.strftime("%Y%m%d-%H%M%S")
         name = "_".join(list(exp_tags) + [stamp])
         self.dir = osp.join(runs_dir, name)
         os.makedirs(self.dir, exist_ok=True)
-        self._fh = open(osp.join(self.dir, "metrics.jsonl"), "a")
+        self.backend = backend
+        self._fl = None
+        if backend == "binary":
+            from .fastlog import FastLogWriter
+            self._fl = FastLogWriter(osp.join(self.dir, "metrics.flog"))
+            self._fh = None
+        else:
+            self._fh = open(osp.join(self.dir, "metrics.jsonl"), "a")
         if config is not None:
             self.dump_config(config)
 
@@ -63,11 +73,24 @@ class MetricsLogger:
             json.dump(merged, f, indent=1, skipkeys=True, default=str)
 
     def add_scalar(self, tag, value, step):
+        if self._fl is not None:
+            self._fl.write(tag, step, value)
+            return
         self._fh.write(json.dumps(
             {"tag": tag, "step": int(step), "value": _to_host(value)}) + "\n")
 
     def add_tensor(self, tag, value, step):
         self.add_scalar(tag, value, step)
+
+    def add_rows(self, tag, values, every: int = 1):
+        """Bulk-log a whole (T, ...) channel (row t -> step t*every).  On
+        the binary backend this is ONE native call for the channel."""
+        a = np.asarray(values)
+        if self._fl is not None:
+            self._fl.write_rows(tag, a[::every], step0=0, stride=every)
+            return
+        for t in range(0, a.shape[0], every):
+            self.add_tensor(tag, a[t], t)
 
     def log_rollout(self, outs, every: int = 1, sim=None):
         """Dump a RolloutOutputs pytree as per-step records (the reference's
@@ -79,9 +102,8 @@ class MetricsLogger:
         re-render the full scene from the log alone."""
         X = np.asarray(outs.X)
         U = np.asarray(outs.U)
-        for t in range(0, X.shape[0], every):
-            self.add_tensor("vis/state", X[t], t)
-            self.add_tensor("vis/uopt", U[t], t)
+        self.add_rows("vis/state", X, every)
+        self.add_rows("vis/uopt", U, every)
         info = outs.info
         chans = [("opt/rho", info.rho), ("opt/relax", info.relax),
                  ("opt/value", info.pcost),
@@ -97,9 +119,7 @@ class MetricsLogger:
                       ("vis/Fx_var", knl.Fx_var),
                       ("vis/Fxu_var", knl.Fxu_var)]
         for tag, arr in chans:
-            a = np.asarray(arr)
-            for t in range(0, a.shape[0], every):
-                self.add_tensor(tag, a[t], t)
+            self.add_rows(tag, np.asarray(arr), every)
         if sim is not None:
             import jax.numpy as jnp
             geom = {
@@ -113,19 +133,33 @@ class MetricsLogger:
                 plan = np.asarray(jax.vmap(planner.plan)(
                     jnp.arange(X.shape[0])))
                 geom["goal"] = plan[-1].tolist()
-                for t in range(0, X.shape[0], every):
-                    self.add_tensor("vis/plan_x", plan[t], t)
+                self.add_rows("vis/plan_x", plan[:X.shape[0]], every)
             self.dump_config(geom)
-        self._fh.flush()
+        self.flush()
+
+    def flush(self):
+        (self._fl or self._fh).flush()
 
     def close(self):
-        self._fh.close()
+        (self._fl or self._fh).close()
 
 
 def load_metrics(path):
-    """Stream a metrics.jsonl back, grouped by tag (the analogue of
-    load_tensorboard_scalars, misc.py:343-359)."""
+    """Stream a metrics.jsonl (or binary metrics.flog) back, grouped by
+    tag (the analogue of load_tensorboard_scalars, misc.py:343-359)."""
     grouped: Dict[str, list] = {}
+    if path.endswith(".flog") or (not path.endswith(".jsonl")
+                                  and osp.exists(osp.join(path,
+                                                          "metrics.flog"))):
+        from .fastlog import read_fastlog
+        fp = path if path.endswith(".flog") else osp.join(path,
+                                                          "metrics.flog")
+        for tag, (steps, values) in read_fastlog(fp).items():
+            vlist = list(values) if not isinstance(values, list) else values
+            grouped[tag] = [
+                (int(s), v.item() if v.size == 1 else v.tolist())
+                for s, v in zip(steps, vlist)]
+        return grouped
     with open(path if path.endswith(".jsonl")
               else osp.join(path, "metrics.jsonl")) as f:
         for line in f:
