@@ -21,4 +21,4 @@ Layer map (mirrors SURVEY.md section 1, rebuilt TPU-first):
 - :mod:`bayesian_cbf_tpu.experiments` — L9 reference-parity experiment drivers
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -62,12 +62,17 @@ class MetricsLogger:
             self.dump_config(config)
 
     def dump_config(self, config: Dict[str, Any]):
-        """Write (or merge into) the run's config.json."""
+        """Write (or merge into) the run's config.json.  Every dump is
+        stamped with the package version (+ git describe when run from a
+        checkout) — the reference version-stamps artifacts the same way
+        (bayes_cbf/__init__.py:1-7 git-describe version, run dirs
+        data/runs/<tags>_<gitversion>, misc.py:362-405)."""
         path = osp.join(self.dir, "config.json")
         merged = {}
         if osp.exists(path):
             with open(path) as f:
                 merged = json.load(f)
+        merged.setdefault("_version", version_stamp())
         merged.update(jax.tree.map(_to_host, config))
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, skipkeys=True, default=str)
@@ -142,6 +147,55 @@ class MetricsLogger:
 
     def close(self):
         (self._fl or self._fh).close()
+
+
+def version_stamp() -> str:
+    """Package version, refined with `git describe` when running from a
+    checkout (bayes_cbf/__init__.py:1-7 parity)."""
+    from .. import __version__
+    try:
+        import subprocess
+        desc = subprocess.run(
+            ["git", "describe", "--always", "--dirty"],
+            cwd=osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+            capture_output=True, text=True, timeout=5)
+        if desc.returncode == 0 and desc.stdout.strip():
+            return "%s+g%s" % (__version__, desc.stdout.strip())
+    except Exception:
+        pass
+    return __version__
+
+
+def filter_runs(runs_dir, predicate=None, newest_first=True):
+    """Find logged run directories under `runs_dir`, newest first,
+    optionally filtered by a predicate over their config.json — the
+    analogue of filter_log_files (unicycle_move_to_pose.py:1380-1396),
+    which locates the latest event file matching a config condition.
+
+    >>> latest = filter_runs("data/runs",
+    ...                      lambda c: c.get("name") == "bayes")[0]
+    """
+    hits = []
+    if not osp.isdir(runs_dir):
+        return hits
+    for name in os.listdir(runs_dir):
+        d = osp.join(runs_dir, name)
+        has_log = (osp.exists(osp.join(d, "metrics.jsonl"))
+                   or osp.exists(osp.join(d, "metrics.flog")))
+        if not (osp.isdir(d) and has_log):
+            continue
+        cfg = {}
+        cfg_path = osp.join(d, "config.json")
+        if osp.exists(cfg_path):
+            try:
+                with open(cfg_path) as f:
+                    cfg = json.load(f)
+            except json.JSONDecodeError:
+                pass
+        if predicate is None or predicate(cfg):
+            hits.append((osp.getmtime(d), d))
+    hits.sort(reverse=newest_first)
+    return [d for _, d in hits]
 
 
 def load_metrics(path):

@@ -58,11 +58,19 @@ def main():
     jax.block_until_ready(out.X)
     ok = bool(jnp.all(jnp.isfinite(out.X)))
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    import contextlib
+    if profile_dir:
+        from bayesian_cbf_tpu.observability.profiling import trace
+        prof_ctx = trace(profile_dir)
+    else:
+        prof_ctx = contextlib.nullcontext()
     t0 = time.perf_counter()
     reps = 3
-    for _ in range(reps):
-        out = run(x0s, keys)
-        jax.block_until_ready(out.X)
+    with prof_ctx:
+        for _ in range(reps):
+            out = run(x0s, keys)
+            jax.block_until_ready(out.X)
     dt_run = (time.perf_counter() - t0) / reps
 
     steps_per_sec = batch * num_steps / dt_run

@@ -108,3 +108,45 @@ def test_replay_from_binary_log(tmp_path):
     lg.close()
     out = replay_run(lg.dir, savefile=str(tmp_path / "replay.png"))
     assert out is not None
+
+
+def test_version_stamp_in_config(tmp_path):
+    """Every config.json carries a version stamp (the reference
+    version-stamps artifacts via git describe, bayes_cbf/__init__.py:1-7)."""
+    from bayesian_cbf_tpu.observability.logger import version_stamp
+    lg = MetricsLogger(runs_dir=str(tmp_path), exp_tags=("v",), stamp="0",
+                       config={"name": "n"})
+    lg.close()
+    with open(osp.join(lg.dir, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["_version"].startswith("0.2.0")
+    assert version_stamp().startswith("0.2.0")
+
+
+def test_filter_runs(tmp_path):
+    """filter_log_files parity: newest-first, config-predicate filtered."""
+    import time as _time
+    from bayesian_cbf_tpu.observability.logger import filter_runs
+    a = MetricsLogger(runs_dir=str(tmp_path), exp_tags=("a",), stamp="0",
+                      config={"kind": "x"})
+    a.add_scalar("t", 1.0, 0); a.close()
+    _time.sleep(0.05)
+    b = MetricsLogger(runs_dir=str(tmp_path), exp_tags=("b",), stamp="1",
+                      backend="binary", config={"kind": "y"})
+    b.add_scalar("t", 2.0, 0); b.close()
+    runs = filter_runs(str(tmp_path))
+    assert runs == [b.dir, a.dir]          # newest first, both backends
+    only_x = filter_runs(str(tmp_path), lambda c: c.get("kind") == "x")
+    assert only_x == [a.dir]
+    assert filter_runs(str(tmp_path / "missing")) == []
+
+
+def test_step_timer_and_annotate():
+    import jax
+    import jax.numpy as jnp
+    from bayesian_cbf_tpu.observability.profiling import (
+        step_timer, annotate)
+    f = jax.jit(lambda x: (x * x).sum())
+    with annotate("bench-region"):
+        dt = step_timer(f, jnp.arange(8.0), reps=2)
+    assert dt >= 0.0
