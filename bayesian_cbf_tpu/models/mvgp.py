@@ -190,30 +190,30 @@ class MVGP(NamedTuple):
         n = self.x_dim
         kcnt = jnp.sum(data.mask)
         Y = self.residual_Y(params, data)
-        # plain (single) Cholesky here, NOT the jitter ladder: the Gram
+        # single jittered factorization, NOT the jitter ladder: the Gram
         # already carries +jitter I, and the Adam loop's NaN guard rejects
         # any step whose factorization fails — paying the 9-rung batched
         # ladder per MLL evaluation was the dominant cost of the whole
         # flagship rollout (the refit phase measured 70% of bench wall).
-        # chol_with_inv carries the explicit L^{-1} so both the quad-form
-        # forward and the entire Cholesky backward are matmuls — TPU
-        # triangular-solve autodiff was the next-dominant refit term.
-        from ..ops.cholinv import chol_with_inv
+        # The MLL consumes the Gram ONLY through (Kb^{-1} Y, logdet Kb),
+        # so `solve_and_logdet` computes the pair with one fused custom
+        # VJP: the forward runs the recursive Schur/sweep inversion
+        # kernel on TPU (ops/pallas_sweep.py) and the backward reuses the
+        # explicit inverse — no triangular op anywhere in the fit.
+        from ..ops.cholinv import solve_and_logdet
         m = data.mask.astype(Y.dtype)
         outer = m[:, None] * m[None, :]
         eye = jnp.eye(data.X.shape[0], dtype=Y.dtype)
         Km = (self.gram_kb(params, data) * outer
               + eye * (1.0 - m)[:, None])
-        Lb, Lbinv = chol_with_inv(Km)
+        S, logdet_Kb = solve_and_logdet(Km, Y)   # (Kb^{-1} Y, logdet Kb)
         _, LA = psd_cholesky(params.A, init_jitter=self.jitter)
-        # tr(A^{-1} Y^T Kb^{-1} Y) = || LA^{-1} (Lb^{-1} Y)^T ||_F^2
-        KinvY = Lbinv @ Y
-        AinvYt = jax.scipy.linalg.solve_triangular(LA, KinvY.T, lower=True)
-        quad = jnp.sum(AinvYt * AinvYt)
+        # tr(A^{-1} Y^T Kb^{-1} Y)
+        G = Y.T @ S
+        quad = jnp.trace(jax.scipy.linalg.cho_solve((LA, True), G))
         # masked rows contribute log(1) = 0 to logdet Kb; the tiny-floor
         # guards keep the f32 fast path NaN-free on marginal factorizations
-        tiny = jnp.asarray(1e-20, Lb.dtype)
-        logdet_Kb = 2.0 * jnp.sum(jnp.log(jnp.maximum(jnp.diagonal(Lb), tiny)))
+        tiny = jnp.asarray(1e-20, Y.dtype)
         logdet_A = 2.0 * jnp.sum(jnp.log(jnp.maximum(jnp.diagonal(LA), tiny)))
         ll = -0.5 * (quad + n * logdet_Kb + kcnt * logdet_A
                      + kcnt * n * _SQRT2PI_LOG)

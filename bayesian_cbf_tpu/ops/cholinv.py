@@ -96,3 +96,90 @@ def _bwd(res, cts):
 
 
 chol_with_inv.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused solve + logdet for the MLL (one k^3 matmul TOTAL per fwd+bwd)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def solve_and_logdet(K, Y):
+    """(K^{-1} Y, logdet K) for PD K (..., k, k), Y (..., k, n).
+
+    The marginal-log-likelihood only consumes the Gram through these two
+    quantities, so giving the pair ONE custom VJP collapses the fit's
+    backward to small matmuls: the forward computes the explicit inverse
+    directly (recursive Schur/sweep Pallas kernel under vmap on TPU f32,
+    `kinv_logdet` — no triangular factor anywhere) and the backward
+    reuses it:
+
+        S = K^{-1} Y
+        dK = -Kinv dS S^T + dlogdet * Kinv      (all O(k^2 n))
+        dY =  Kinv dS
+
+    versus the generic chain (inverse-rule + Murray Phi-path) which
+    costs ~4 k^3 matmuls per MLL gradient.  Diagonal logs are floored
+    at 1e-20 to keep the f32 fast path NaN-free on marginal factors."""
+    S, logdet, _ = _sld_impl(K, Y)
+    return S, logdet
+
+
+def _kinv_logdet_ref(K):
+    L, Linv = _ref_fwd(K)
+    Kinv = jnp.swapaxes(Linv, -1, -2) @ Linv
+    tiny = jnp.asarray(1e-20, L.dtype)
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(diag, tiny)), axis=-1)
+    return Kinv, logdet
+
+
+@custom_batching.custom_vmap
+def kinv_logdet(K):
+    """(K^{-1}, logdet K) for one PD (n, n) matrix."""
+    return _kinv_logdet_ref(K)
+
+
+@kinv_logdet.def_vmap
+def _kinv_logdet_vmap_rule(axis_size, in_batched, K):
+    """Batched dispatch: the recursive Schur/sweep Pallas kernel on TPU
+    f32 (ops/pallas_sweep.py) — no triangular op anywhere; XLA
+    Cholesky-based reference elsewhere."""
+    use = USE_PALLAS
+    if use is None:
+        use = (jax.default_backend() == "tpu"
+               and K.dtype == jnp.float32
+               and K.shape[-1] <= _PALLAS_MAX_N)
+    if use:
+        from .pallas_sweep import batched_kinv_logdet
+        out = batched_kinv_logdet(K)
+    else:
+        out = _kinv_logdet_ref(K)
+    return out, (True, True)
+
+
+def _sld_impl(K, Y):
+    Kinv, logdet = (kinv_logdet(K) if K.ndim == 2
+                    else _kinv_logdet_ref(K))
+    S = Kinv @ Y
+    return S, logdet, Kinv
+
+
+def _sld_fwd(K, Y):
+    S, logdet, Kinv = _sld_impl(K, Y)
+    return (S, logdet), (S, Kinv)
+
+
+def _sld_bwd(res, cts):
+    S, Kinv = res
+    dS, dlogdet = cts
+    dY = jnp.zeros_like(S)
+    dK = jnp.zeros_like(Kinv)
+    if dS is not None:
+        dY = Kinv @ dS
+        dK = -dY @ jnp.swapaxes(S, -1, -2)
+    if dlogdet is not None:
+        dK = dK + dlogdet[..., None, None] * Kinv
+    return dK, dY
+
+
+solve_and_logdet.defvjp(_sld_fwd, _sld_bwd)
