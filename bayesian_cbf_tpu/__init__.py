@@ -19,6 +19,17 @@ Layer map (mirrors SURVEY.md section 1, rebuilt TPU-first):
 - :mod:`bayesian_cbf_tpu.sim`      — L8 lax.scan rollouts + online-learning carry
 - :mod:`bayesian_cbf_tpu.parallel` — mesh-sharded Monte-Carlo rollouts
 - :mod:`bayesian_cbf_tpu.experiments` — L9 reference-parity experiment drivers
+- :mod:`bayesian_cbf_tpu.observability` — L10 logging (native fastlog), replay, analysis
+- :mod:`bayesian_cbf_tpu.deploy`   — serving: AOT-compiled per-tick controller
+- :mod:`bayesian_cbf_tpu.ops`      — Pallas TPU kernels (Gram, Cholesky, Schur/sweep inverse)
 """
 
 __version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy: deploy pulls in jax at import; keep bare-package import light
+    if name == "CompiledController":
+        from .deploy import CompiledController
+        return CompiledController
+    raise AttributeError(name)
