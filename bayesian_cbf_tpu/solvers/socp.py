@@ -38,7 +38,7 @@ Alizadeh & Goldfarb 2003).  Per SOC with J = diag(1, -I):
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -199,31 +199,12 @@ def _interior_shift(S):
     return S.at[:, 0].add(shift)
 
 
-@partial(jax.jit, static_argnames=("dims", "iters", "tol"))
-def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
-               dims: Tuple[int, ...], iters: int = 30,
-               tol: float = 1e-10, warm=None) -> SOCPSolution:
-    """Solve min c^T x s.t. Gx + s = h, s in product of SOCs of sizes `dims`.
-
-    `dims` is static; the body is one lax.scan of `iters` Mehrotra
-    iterations over vectorized padded cone blocks.
-
-    `warm` (optional): an (x, S, Z) triple from a previous solve of a
-    problem with identical cone structure (e.g. the previous control step
-    of a rollout scan, whose data moved by O(dt)).  The slacks/duals are
-    re-centered into the cone interior; this is an infeasible-start IPM so
-    the warm point need not be feasible for the new data.  Non-finite warm
-    points fall back to the cold start in-graph."""
-    dtype = jnp.result_type(c.dtype, G.dtype, h.dtype)
-    c = c.astype(dtype)
-    G = G.astype(dtype)
-    h = h.astype(dtype)
+def _pad_cones(c, G, h, dims):
+    """Zero-pad cone blocks to a common dimension (trace-time, static)."""
+    dtype = c.dtype
     nx = c.shape[-1]
     C = len(dims)
     dmax = max(dims)
-    nu = float(C)
-
-    # pad every cone block to dmax rows (trace-time, static)
     Gp = jnp.zeros((C, dmax, nx), dtype)
     hp = jnp.zeros((C, dmax), dtype)
     off = 0
@@ -231,18 +212,37 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
         Gp = Gp.at[i, :d, :].set(G[off:off + d, :])
         hp = hp.at[i, :d].set(h[off:off + d])
         off += d
+    return Gp, hp
 
+
+def _score_padded(c, Gp, hp, x, S, Z):
+    """Scale-relative KKT score of a point for the padded problem."""
+    nu = float(Gp.shape[0])
+    hnorm = jnp.maximum(1.0, jnp.linalg.norm(hp))
+    cnorm = jnp.maximum(1.0, jnp.linalg.norm(c))
+    rx = c + jnp.einsum('cdn,cd->n', Gp, Z)
+    rz = jnp.einsum('cdn,n->cd', Gp, x) + S - hp
+    mu = jnp.abs(jnp.sum(S * Z)) / nu
+    return jnp.maximum(jnp.maximum(jnp.linalg.norm(rz) / hnorm,
+                                   jnp.linalg.norm(rx) / cnorm), mu)
+
+
+def _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol):
+    """Fixed-iteration Mehrotra IPM on padded cone blocks from an interior
+    start point (sx, sS, sZ); returns the best iterate (x, S, Z).  This is
+    the reference implementation; on TPU f32 the vmapped hot path runs the
+    Pallas lane-major kernel instead (see `_solve_padded`)."""
+    dtype = c.dtype
+    nx = c.shape[-1]
+    C, dmax = hp.shape
+    nu = float(C)
     e = jnp.zeros((C, dmax), dtype).at[:, 0].set(1.0)
     x0 = jnp.zeros((nx,), dtype)
-    hnorm = jnp.maximum(1.0, jnp.linalg.norm(h))
+    hnorm = jnp.maximum(1.0, jnp.linalg.norm(hp))
     cnorm = jnp.maximum(1.0, jnp.linalg.norm(c))
 
     def _score(x, S, Z):
-        rx = c + jnp.einsum('cdn,cd->n', Gp, Z)
-        rz = jnp.einsum('cdn,n->cd', Gp, x) + S - hp
-        mu = jnp.abs(jnp.sum(S * Z)) / nu
-        return jnp.maximum(jnp.maximum(jnp.linalg.norm(rz) / hnorm,
-                                       jnp.linalg.norm(rx) / cnorm), mu)
+        return _score_padded(c, Gp, hp, x, S, Z)
 
     def body(carry, _):
         x, S, Z, best = carry
@@ -315,6 +315,95 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
         return (x, S, Z, best), None
 
     big = jnp.asarray(jnp.inf, dtype)
+    init = (sx, sS, sZ, (x0, e, e, big))
+    (x, S, Z, best), _ = jax.lax.scan(body, init, None, length=iters)
+    score = _score(x, S, Z)
+    bx, bS, bZ, bscore = best
+    better = score < bscore
+    x = jnp.where(better, x, bx)
+    S = jnp.where(better, S, bS)
+    Z = jnp.where(better, Z, bZ)
+    return x, S, Z
+
+
+def _solve_padded(c, Gp, hp, sx, sS, sZ, iters, tol):
+    """Dispatch for the padded-core solve: under vmap on TPU f32 the whole
+    batch of IPMs runs as ONE Pallas lane-major kernel (ops/pallas_ipm.py)
+    — inside a rollout scan the plain path costs ~20 un-fusable kernels
+    per Mehrotra iteration per step; elsewhere, the plain implementation."""
+    if c.ndim == 1:
+        return _socp_dispatch(iters, tol)(c, Gp, hp, sx, sS, sZ)
+    return _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol)
+
+
+@lru_cache(maxsize=None)
+def _socp_dispatch(iters, tol):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def dispatch(c, Gp, hp, sx, sS, sZ):
+        return _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol)
+
+    @dispatch.def_vmap
+    def _rule(axis_size, in_batched, c, Gp, hp, sx, sS, sZ):
+        use = USE_PALLAS_IPM
+        if use is None:
+            use = (jax.default_backend() == "tpu"
+                   and c.dtype == jnp.float32
+                   and c.shape[-1] <= _UNROLL_MAX_N
+                   and hp.shape[-1] <= 16 and hp.shape[-2] <= 16)
+        if use:
+            from ..ops import pallas_ipm
+            # broadcast operands that are constant across the batch (the
+            # objective vector and cold-start points usually are)
+            c_, Gp_, hp_, sx_, sS_, sZ_ = (
+                a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip((c, Gp, hp, sx, sS, sZ), in_batched))
+            out = pallas_ipm.batched_ipm(c_, Gp_, hp_, sx_, sS_, sZ_,
+                                         iters=iters, tol=tol,
+                                         interpret=pallas_ipm.INTERPRET)
+        else:
+            axes = tuple(0 if b else None for b in in_batched)
+            out = jax.vmap(
+                lambda *a: _solve_padded_plain(*a, iters, tol),
+                in_axes=axes)(c, Gp, hp, sx, sS, sZ)
+        return out, (True, True, True)
+
+    return dispatch
+
+
+# None = auto (Pallas on TPU f32 under vmap); True/False force
+USE_PALLAS_IPM = None
+
+
+@partial(jax.jit, static_argnames=("dims", "iters", "tol"))
+def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
+               dims: Tuple[int, ...], iters: int = 30,
+               tol: float = 1e-10, warm=None) -> SOCPSolution:
+    """Solve min c^T x s.t. Gx + s = h, s in product of SOCs of sizes `dims`.
+
+    `dims` is static; the body is `iters` Mehrotra iterations over
+    vectorized padded cone blocks (one lax.scan on the plain path; one
+    Pallas kernel for the whole batch under vmap on TPU).
+
+    `warm` (optional): an (x, S, Z) triple from a previous solve of a
+    problem with identical cone structure (e.g. the previous control step
+    of a rollout scan, whose data moved by O(dt)).  The slacks/duals are
+    re-centered into the cone interior; this is an infeasible-start IPM so
+    the warm point need not be feasible for the new data.  Non-finite warm
+    points fall back to the cold start in-graph."""
+    dtype = jnp.result_type(c.dtype, G.dtype, h.dtype)
+    c = c.astype(dtype)
+    G = G.astype(dtype)
+    h = h.astype(dtype)
+    nx = c.shape[-1]
+    C = len(dims)
+    dmax = max(dims)
+    nu = float(C)
+    Gp, hp = _pad_cones(c, G, h, dims)
+    e = jnp.zeros((C, dmax), dtype).at[:, 0].set(1.0)
+    x0 = jnp.zeros((nx,), dtype)
+
     if warm is None:
         sx, sS, sZ = x0, e, e
     else:
@@ -332,19 +421,15 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
         # reset those to the cold start.  Scored on the RAW carried point:
         # the interiority shift below perturbs the primal residual by the
         # shift size, which must not count against the gate.
-        ok = ok & (_score(wx, wS, wZ) < 0.05)
+        ok = ok & (_score_padded(c, Gp, hp, wx, wS, wZ) < 0.05)
         sx = jnp.where(ok, wx, x0)
         sS = jnp.where(ok, _interior_shift(wS), e)
         sZ = jnp.where(ok, _interior_shift(wZ), e)
-    init = (sx, sS, sZ, (x0, e, e, big))
-    (x, S, Z, best), _ = jax.lax.scan(body, init, None, length=iters)
-    score = _score(x, S, Z)
-    bx, bS, bZ, bscore = best
-    better = score < bscore
-    x = jnp.where(better, x, bx)
-    S = jnp.where(better, S, bS)
-    Z = jnp.where(better, Z, bZ)
 
+    x, S, Z = _solve_padded(c, Gp, hp, sx, sS, sZ, iters, tol)
+
+    hnorm = jnp.maximum(1.0, jnp.linalg.norm(hp))
+    cnorm = jnp.maximum(1.0, jnp.linalg.norm(c))
     pres = jnp.linalg.norm(jnp.einsum('cdn,n->cd', Gp, x) + S - hp) / hnorm
     dres = jnp.linalg.norm(c + jnp.einsum('cdn,cd->n', Gp, Z)) / cnorm
     gap = jnp.abs(jnp.sum(S * Z)) / nu
