@@ -121,6 +121,21 @@ def make_pendulum_online_sim(
                              egreedy=egreedy, dt=dt, numSteps=numSteps)
 
 
+# jitted-runner cache keyed on the sim object: re-jitting a fresh closure
+# per call recompiles the whole segmented episode program every time (the
+# 25-segment flagship pendulum costs ~2 min per compile on this host) —
+# same pattern as sim.rollout._SIM_CACHE
+_RUN_CACHE: dict = {}
+
+
+def _cached_jit(sim, tag, fn):
+    key = (id(sim), tag)
+    entry = _RUN_CACHE.get(key)
+    if entry is None or entry[0] is not sim:
+        _RUN_CACHE[key] = (sim, jax.jit(fn))
+    return _RUN_CACHE[key][1]
+
+
 def run_pendulum_online_learning(sim: PendulumOnlineSim,
                                  theta0=7 * math.pi / 12, omega0=0.0,
                                  seed=0):
@@ -148,7 +163,8 @@ def run_pendulum_online_learning(sim: PendulumOnlineSim,
                 carry = (x, st, k)
         return jax.tree.map(lambda *a: jnp.concatenate(a, 0), *ys)
 
-    X, U, Xdot, info = jax.jit(run)(x0, dyn_state, ks)
+    X, U, Xdot, info = _cached_jit(sim, "online_single", run)(
+        x0, dyn_state, ks)
     return X, U, Xdot, info
 
 
@@ -204,7 +220,8 @@ def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
                 carry = (X, states, keys)
         return jax.tree.map(lambda *a: jnp.concatenate(a, 0), *ys)
 
-    X, U, Xdot, info = jax.jit(run)(x0s, dyn_states, ekeys)
+    X, U, Xdot, info = _cached_jit(sim, "online_batch", run)(
+        x0s, dyn_states, ekeys)
     swap = lambda a: jnp.swapaxes(a, 0, 1)
     return (swap(X), swap(U), swap(Xdot), jax.tree.map(swap, info))
 

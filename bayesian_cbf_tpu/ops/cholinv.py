@@ -135,7 +135,14 @@ def _kinv_logdet_ref(K):
 
 @custom_batching.custom_vmap
 def kinv_logdet(K):
-    """(K^{-1}, logdet K) for one PD (n, n) matrix."""
+    """(K^{-1}, logdet K) for one PD (n, n) matrix.
+
+    Measured round 2: routing the UNBATCHED case through the sweep
+    kernel as a size-1 batch is 23x slower than XLA's chol+trsm inside
+    a fit scan (35 ms vs 1.5 ms per Adam iteration; standalone the
+    kernel is 3.4 ms at B=1 — a single grid cell's serial sweep doesn't
+    amortize, and in-scan it pipelines even worse).  Kernels only pay
+    off batched; the single-matrix case stays on XLA."""
     return _kinv_logdet_ref(K)
 
 

@@ -342,6 +342,10 @@ def _socp_dispatch(iters, tol):
 
     @custom_batching.custom_vmap
     def dispatch(c, Gp, hp, sx, sS, sZ):
+        # unbatched solves stay on the plain path: a size-1 kernel batch
+        # measured neutral-to-slower (one grid cell doesn't amortize the
+        # serial cone recurrence; see the kinv_logdet note in
+        # ops/cholinv.py for the same finding on the sweep kernel)
         return _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol)
 
     @dispatch.def_vmap
