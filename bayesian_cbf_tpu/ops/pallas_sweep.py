@@ -82,7 +82,11 @@ def _sweep_block(M, tiny):
         srow = rowi * idv                                     # (CB, 1, nb)
         coli = jnp.sum(M * onehot_c[None], axis=2,
                        keepdims=True)                         # (CB, nb, 1)
-        # rank-1 elimination everywhere except row i / col i
+        # rank-1 elimination everywhere except row i / col i.  (A
+        # "cheaper" unmasked-rank-1 + masked-adds variant was measured
+        # NOT faster — the VPU time here is reduction/loop-bound, not
+        # blend-bound — and it costs ~30x logdet precision because the
+        # cancellation residue on row/col i feeds later pivots.)
         upd = M - coli * srow
         keep_rc = (1.0 - onehot_r) * (1.0 - onehot_c)         # (nb, nb)
         M = upd * keep_rc[None] \
