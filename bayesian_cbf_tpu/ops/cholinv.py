@@ -33,7 +33,9 @@ from jax import custom_batching
 # None = auto (Pallas on TPU f32 under vmap); True/False force
 USE_PALLAS = None
 
-_PALLAS_MAX_N = 512
+# n <= 256: at N=512 the (CHUNK, N, N) VMEM blocks exceed the 16M
+# scoped budget and the remote compile rejects the kernel (measured)
+_PALLAS_MAX_N = 256
 
 
 def _ref_fwd(K):
