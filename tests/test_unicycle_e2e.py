@@ -107,3 +107,32 @@ def test_warm_started_ipm_matches_cold():
     cw = np.asarray(min_obstacle_clearance(warm, ow))
     assert np.all(cw > 0) == np.all(cc > 0)
     assert abs(float(goal_distance(ow)) - float(goal_distance(oc))) < 0.2
+
+
+def test_golden_e2e_trajectory():
+    """End-to-end golden fixture: the full learn+solve+step loop on a
+    committed 40-step f64 episode (controls, states, feasibility).
+    Guards against silent behavior drift when the solver/fit kernels are
+    optimized; the fixture was generated by the same code path, so this
+    is a REGRESSION pin, not an independent oracle (the independent
+    oracles are tests/test_f32_and_golden.py and the SOCP/scipy
+    cross-checks)."""
+    import os.path as osp
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        make_ackermann_tracking_sim, STATE_START)
+    from bayesian_cbf_tpu.sim.rollout import simulate_unicycle
+    ref = np.load(osp.join(osp.dirname(__file__), "data",
+                           "golden_e2e_unicycle.npz"))
+    sim = make_ackermann_tracking_sim(numSteps=40, dt=0.01, max_train=24,
+                                      training_iter=10,
+                                      train_every_n_steps=15)
+    out = simulate_unicycle(sim, STATE_START, key=jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(out.X), ref["X"], rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out.U), ref["U"], rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(out.info.feasible) > 0.5,
+                                  ref["feasible"] > 0.5)
