@@ -158,10 +158,21 @@ class MVGP(NamedTuple):
     # ---------------------------------------------------------- kernel
 
     def k_xx(self, params: MVGPParams, X1: jax.Array, X2: jax.Array):
-        """ARD RBF data kernel, (b1, b2) Gram."""
+        """ARD RBF data kernel, (b1, b2) Gram.
+
+        Dot-product form |a|^2 + |b|^2 - 2 a.b (clamped at 0): the naive
+        broadcast-difference form materializes a (b1, b2, n) tensor — at
+        the flagship refit shape that is 165 MB streamed several times
+        per MLL evaluation, and the profiler showed the fit's non-kernel
+        wall was exactly these passes.  The cross term rides the MXU."""
         ell = params.lengthscale
-        d = (X1[:, None, :] - X2[None, :, :]) / ell
-        return params.outputscale * jnp.exp(-0.5 * jnp.sum(d * d, -1))
+        Xs1 = X1 / ell
+        Xs2 = X2 / ell
+        sq1 = jnp.sum(Xs1 * Xs1, axis=-1)
+        sq2 = jnp.sum(Xs2 * Xs2, axis=-1)
+        d2 = jnp.maximum(sq1[:, None] + sq2[None, :] - 2.0 * (Xs1 @ Xs2.T),
+                         0.0)
+        return params.outputscale * jnp.exp(-0.5 * d2)
 
     def k_xx_single(self, params: MVGPParams, x: jax.Array, xp: jax.Array):
         d = (x - xp) / params.lengthscale
