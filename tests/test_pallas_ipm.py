@@ -110,3 +110,24 @@ def test_kernel_batch_padding():
                        iters=15, tol=1e-10, interpret=True)
     np.testing.assert_allclose(np.asarray(got3[0][0]),
                                np.asarray(got1[0][0]), atol=1e-5)
+
+
+def test_kernel_warm_start_path():
+    """Warm-started (interior-shifted, near-optimal) start points through
+    the kernel: must converge at reduced iterations to the cold-start
+    answer — the rollout scan's steady-state regime."""
+    cB, GB, hB, sx, sSZ = _random_batch(2)
+    cold = batched_ipm(cB, GB, hB, sx, sSZ, sSZ, iters=25, tol=1e-10,
+                       interpret=True)
+    from bayesian_cbf_tpu.solvers.socp import _interior_shift
+    wS = jax.vmap(_interior_shift)(cold[1])
+    wZ = jax.vmap(_interior_shift)(cold[2])
+    warm = batched_ipm(cB, GB, hB, cold[0], wS, wZ, iters=10, tol=1e-10,
+                       interpret=True)
+    for b in range(cB.shape[0]):
+        sw = float(_score_padded(cB[b], GB[b], hB[b],
+                                 warm[0][b], warm[1][b], warm[2][b]))
+        assert sw < 1e-3, (b, sw)
+        np.testing.assert_allclose(float(cB[b] @ warm[0][b]),
+                                   float(cB[b] @ cold[0][b]),
+                                   rtol=5e-3, atol=5e-3)
