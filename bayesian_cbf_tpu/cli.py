@@ -53,6 +53,10 @@ def main(argv=None):
     parser.add_argument("--animate", action="store_true")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend with float64")
+    parser.add_argument("--log-backend", choices=("jsonl", "binary"),
+                        default="jsonl",
+                        help="metrics format: human-readable JSONL or the "
+                             "native binary fastlog writer")
     args = parser.parse_args(argv)
     if args.cpu:
         _force_cpu()
@@ -67,7 +71,7 @@ def main(argv=None):
         return 0
     _, out, run_dir = run_experiment(
         args.experiment, runs_dir=args.runs_dir, plot=args.plot,
-        animate=args.animate, **overrides)
+        animate=args.animate, backend=args.log_backend, **overrides)
     import numpy as np
     print(json.dumps({
         "run_dir": run_dir,

@@ -95,12 +95,14 @@ def apply_overrides(base: Dict[str, Any],
 
 def run_experiment(name: str, runs_dir: str = "data/runs",
                    log_every: int = 1, plot: bool = False,
-                   animate: bool = False, **overrides
-                   ) -> Tuple[Any, Any, str]:
+                   animate: bool = False, backend: str = "jsonl",
+                   **overrides) -> Tuple[Any, Any, str]:
     """Run a registered experiment with a run directory + config.json +
-    logged rollout (unicycle_demo parity).  Returns (sim, out, run_dir)."""
+    logged rollout (unicycle_demo parity).  Returns (sim, out, run_dir).
+    backend="binary" logs through the native fastlog writer."""
     fn = _registry()[name]
     logger = MetricsLogger(runs_dir=runs_dir, exp_tags=[name],
+                           backend=backend,
                            config={"name": name, **overrides})
     sim, out = fn(**overrides)
     logger.log_rollout(out, every=log_every, sim=sim)
