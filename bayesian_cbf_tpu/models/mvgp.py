@@ -160,19 +160,20 @@ class MVGP(NamedTuple):
     def k_xx(self, params: MVGPParams, X1: jax.Array, X2: jax.Array):
         """ARD RBF data kernel, (b1, b2) Gram.
 
-        Dot-product form |a|^2 + |b|^2 - 2 a.b (clamped at 0): the naive
-        broadcast-difference form materializes a (b1, b2, n) tensor — at
-        the flagship refit shape that is 165 MB streamed several times
-        per MLL evaluation, and the profiler showed the fit's non-kernel
-        wall was exactly these passes.  The cross term rides the MXU."""
+        DELIBERATELY the broadcast-difference form.  The "faster"
+        dot-product form |a|^2 + |b|^2 - 2 a.b cancels catastrophically
+        for NEARBY points — and ring-buffer training data are
+        consecutive states dt apart, so off-diagonal d^2 ~ 1e-6 while
+        the subtracted terms are ~10: measured up to 640% relative
+        error on near-diagonal d^2 in f32 (0% for this form), which
+        perturbed the Gram's near-duplicate structure enough to flip
+        the learning-helps flagship outcome on TPU (f64 was unaffected;
+        round-2 regression bisect).  The measured end-to-end "gain" of
+        the dot form was 1.6% — noise.  tests/test_mvgp.py pins the
+        near-duplicate accuracy so it is not reintroduced."""
         ell = params.lengthscale
-        Xs1 = X1 / ell
-        Xs2 = X2 / ell
-        sq1 = jnp.sum(Xs1 * Xs1, axis=-1)
-        sq2 = jnp.sum(Xs2 * Xs2, axis=-1)
-        d2 = jnp.maximum(sq1[:, None] + sq2[None, :] - 2.0 * (Xs1 @ Xs2.T),
-                         0.0)
-        return params.outputscale * jnp.exp(-0.5 * d2)
+        d = (X1[:, None, :] - X2[None, :, :]) / ell
+        return params.outputscale * jnp.exp(-0.5 * jnp.sum(d * d, -1))
 
     def k_xx_single(self, params: MVGPParams, x: jax.Array, xp: jax.Array):
         d = (x - xp) / params.lengthscale

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bayesian_cbf_tpu.models import make_mvgp, make_mvgp_diag, make_cogp
+from bayesian_cbf_tpu.models import (make_mvgp, make_mvgp_diag,
+                                     make_cogp, make_mvgp_rank1)
 
 
 def _random_linear_system(rng, n, m):
@@ -201,3 +202,25 @@ def test_cogp_train_predict():
     assert np.all(np.isfinite(np.asarray(mean)))
     w = np.linalg.eigvalsh(np.asarray(var))
     assert w.min() > -1e-5
+
+
+def test_kernel_accurate_for_near_duplicate_points_f32():
+    """Regression pin (round-2 bisect): the ARD RBF Gram must stay
+    accurate in f32 for NEARBY inputs — ring-buffer data are consecutive
+    states dt apart (off-diagonal d^2 ~ 1e-6 at |x| ~ 2-3).  The
+    dot-product kernel form |a|^2+|b|^2-2ab loses ~O(1) relative
+    accuracy exactly there (measured 640% on d^2), which flipped the
+    learning-helps flagship outcome on TPU.  Gate: f32 Gram within 1e-5
+    of the f64 Gram on a consecutive-state cloud."""
+    import numpy as onp
+    gp = make_mvgp_rank1(3, 2)
+    params64 = gp.init_params(jax.random.PRNGKey(0), dtype=jnp.float64)
+    rng = onp.random.default_rng(0)
+    base = onp.array([2.0, -1.5, 0.7])
+    X = base + onp.cumsum(0.001 * rng.normal(size=(40, 3)), axis=0)
+    K64 = gp.k_xx(params64, jnp.asarray(X), jnp.asarray(X))
+    params32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params64)
+    K32 = gp.k_xx(params32, jnp.asarray(X, jnp.float32),
+                  jnp.asarray(X, jnp.float32))
+    onp.testing.assert_allclose(onp.asarray(K32), onp.asarray(K64),
+                                atol=1e-5, rtol=1e-5)
