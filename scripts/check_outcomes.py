@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""On-chip qualitative-outcome gate: run the four README experiments and
+print the FULL verdict set — including goal-reaching, not just
+clearance.  Run this (on the TPU) after ANY change to solver/fit/kernel
+numerics; the round-2 dot-form-Gram regression flipped ONLY the
+learning-helps goal progress while every clearance-based check stayed
+green (see NOTES_round2.md).
+
+Exit code 1 if any verdict fails.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        unicycle_mean_cbf_collides_obstacle,
+        unicycle_bayes_cbf_safe_obstacle,
+        unicycle_learning_helps_avoid_getting_stuck,
+        unicycle_no_learning_gets_stuck,
+        min_obstacle_clearance, goal_distance)
+    t0 = time.time()
+    res = {}
+    for name, fn in [
+            ("mean_cbf", unicycle_mean_cbf_collides_obstacle),
+            ("bayes_cbf", unicycle_bayes_cbf_safe_obstacle),
+            ("learning", unicycle_learning_helps_avoid_getting_stuck),
+            ("no_learning", unicycle_no_learning_gets_stuck)]:
+        sim, out = fn()
+        res[name] = {
+            "min_clearance": round(float(jnp.min(jnp.asarray(
+                min_obstacle_clearance(sim, out)))), 4),
+            "goal_dist": round(float(np.asarray(goal_distance(out))), 4),
+            "feasible": round(float(out.info.feasible.mean()), 4),
+        }
+    verdicts = {
+        "collides": res["mean_cbf"]["min_clearance"] < 0,
+        "safe": res["bayes_cbf"]["min_clearance"] > 0,
+        # the full learning claim: strictly better goal progress than
+        # no-learning AND actually approaches the goal (reference ends
+        # near the goal; the stuck run stays ~3.2 away)
+        "learning_passes": (res["learning"]["goal_dist"]
+                            < res["no_learning"]["goal_dist"] - 1.0
+                            and res["learning"]["goal_dist"] < 1.5),
+        "no_learning_stuck": res["no_learning"]["goal_dist"] > 2.5,
+    }
+    out = {"results": res, "verdicts": verdicts,
+           "all_pass": all(verdicts.values()),
+           "wall_s": round(time.time() - t0, 1)}
+    print(json.dumps(out))
+    return 0 if out["all_pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
