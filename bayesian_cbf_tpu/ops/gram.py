@@ -35,10 +35,15 @@ def _round_up(x, m):
 
 def fused_gram_kb_reference(Xs, UHB_half, mask, outputscale, jitter):
     """Pure-XLA oracle.  Xs = X / lengthscale (K, n);
-    UHB_half = UH @ chol(B) (K, 1+m); mask (K,)."""
-    sq = jnp.sum(Xs * Xs, -1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (Xs @ Xs.T)
-    rbf = outputscale * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+    UHB_half = UH @ chol(B) (K, 1+m); mask (K,).
+
+    Distances use the exact per-dimension difference form: the
+    dot-product form |a|^2+|b|^2-2ab cancels catastrophically for
+    nearby points (consecutive ring-buffer states), see
+    models/mvgp.py k_xx and the round-2 regression bisect."""
+    d = Xs[:, None, :] - Xs[None, :, :]
+    d2 = jnp.sum(d * d, -1)
+    rbf = outputscale * jnp.exp(-0.5 * d2)
     ubu = UHB_half @ UHB_half.T
     K = rbf * ubu
     outer = mask[:, None] * mask[None, :]
@@ -46,17 +51,25 @@ def fused_gram_kb_reference(Xs, UHB_half, mask, outputscale, jitter):
     return K * outer + eye * (1.0 - mask)[:, None] + jitter * eye * mask[:, None]
 
 
-def _gram_kernel(xs_ref, uhb_ref, mask_ref, scal_ref, out_ref):
-    """Single-block fused Gram kernel (everything VMEM-resident)."""
+def _gram_kernel(n, xs_ref, uhb_ref, mask_ref, scal_ref, out_ref):
+    """Single-block fused Gram kernel (everything VMEM-resident).
+
+    Distances accumulate EXACT per-dimension differences (n static,
+    <= 16): the MXU dot-form |a|^2+|b|^2-2ab cancels catastrophically
+    in f32 for nearby points — ring-buffer data are consecutive states
+    dt apart (round-2 regression; see models/mvgp.py k_xx)."""
     Xs = xs_ref[:]                       # (Kp, 128)
     UHB = uhb_ref[:]                     # (Kp, 128)
     m = mask_ref[:]                      # (Kp, 128) broadcast mask column 0
     outputscale = scal_ref[0, 0]
     jitter = scal_ref[0, 1]
 
-    sq = jnp.sum(Xs * Xs, axis=1, keepdims=True)         # (Kp, 1)
-    cross = jnp.dot(Xs, Xs.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(sq + sq.T - 2.0 * cross, 0.0)
+    Kp_ = Xs.shape[0]
+    d2 = jnp.zeros((Kp_, Kp_), Xs.dtype)
+    for a in range(n):
+        col = Xs[:, a:a + 1]                             # (Kp, 1)
+        diff = col - col.T                               # (Kp, Kp) exact
+        d2 = d2 + diff * diff
     rbf = outputscale * jnp.exp(-0.5 * d2)
     ubu = jnp.dot(UHB, UHB.T, preferred_element_type=jnp.float32)
 
@@ -91,7 +104,7 @@ def fused_gram_kb(Xs, UHB_half, mask, outputscale, jitter,
     scal = jnp.asarray([[outputscale, jitter]], f32)
 
     out = pl.pallas_call(
-        _gram_kernel,
+        functools.partial(_gram_kernel, n),
         out_shape=jax.ShapeDtypeStruct((Kp, Kp), f32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -155,3 +155,25 @@ def test_sweep_kernel_interpret_matches_oracle():
         np.testing.assert_allclose(
             np.asarray(ld), np.linalg.slogdet(np.asarray(K))[1],
             rtol=2e-5)
+
+
+def test_fused_gram_accurate_for_near_duplicate_points():
+    """Same regression pin as models/mvgp.py k_xx, for the fused Gram
+    kernel: consecutive-state clouds must not lose d^2 accuracy to
+    dot-form cancellation (the kernel accumulates exact per-dimension
+    differences)."""
+    from bayesian_cbf_tpu.ops.gram import fused_gram_kb
+    rng = np.random.default_rng(0)
+    base = np.array([2.0, -1.5, 0.7])
+    X = base + np.cumsum(0.001 * rng.normal(size=(40, 3)), axis=0)
+    UHB = rng.normal(size=(40, 3))
+    mask = np.ones(40)
+    got = fused_gram_kb(jnp.asarray(X, jnp.float32),
+                        jnp.asarray(UHB, jnp.float32),
+                        jnp.asarray(mask, jnp.float32),
+                        1.3, 1e-6, interpret=True)
+    # f64 truth via the exact difference form
+    d = X[:, None, :] - X[None, :, :]
+    rbf = 1.3 * np.exp(-0.5 * (d ** 2).sum(-1))
+    ref = rbf * (UHB @ UHB.T) + 1e-6 * np.eye(40)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-5)
