@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 BASE = 32         # sweep-operator base block
-CHUNK = 8         # batch elements per grid cell
+CHUNK = 8         # default batch elements per grid cell (chunk=0)
 
 
 def _round_up(x, m):
@@ -157,7 +157,7 @@ def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
     B, n, _ = K.shape
     N = _padded_size(n)
     if chunk == 0:
-        chunk = 8
+        chunk = CHUNK
     Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
 
