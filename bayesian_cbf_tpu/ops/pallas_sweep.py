@@ -108,30 +108,28 @@ def _kernel(N, k_ref, kinv_ref, ld_ref):
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
                                    preferred_element_type=jnp.float32)
 
-    def inv_logdet(M, o, n):
-        """(inverse VALUE, logdet) of the (o, o)+(n, n) principal block.
-        M is the block's value, or None meaning "original entries — read
-        lazily from k_ref" (the whole A-side of the recursion; avoids
-        materializing the full input as one value).  Results stay VALUES
-        throughout: reading back partial results from the output ref
-        serializes Mosaic's pipeline (measured 9x slower)."""
+    def inv_logdet(M, n):
+        """(inverse VALUE, logdet) of an (n, n) PD block value.  Results
+        stay VALUES throughout the recursion: reading back partial
+        results from the output ref serializes Mosaic's pipeline
+        (measured 9x slower), so kinv_ref is written exactly once."""
         if n == BASE:
             return _sweep_block(M, tiny)
         h = n // 2
         A = M[:, :h, :h]
         B = M[:, :h, h:]
         C = M[:, h:, h:]
-        Ainv, ld1 = inv_logdet(A, o, h)
+        Ainv, ld1 = inv_logdet(A, h)
         W = bmm(Ainv, B)                                  # (CB, h, h)
         S = C - bmm(B, W, ta=True)
-        Sinv, ld2 = inv_logdet(S, o + h, h)
+        Sinv, ld2 = inv_logdet(S, h)
         WS = bmm(W, Sinv)                                 # (CB, h, h)
         TL = Ainv + bmm(WS, W, tb=True)
         top = jnp.concatenate([TL, -WS], axis=2)
         bot = jnp.concatenate([-jnp.swapaxes(WS, 1, 2), Sinv], axis=2)
         return jnp.concatenate([top, bot], axis=1), ld1 + ld2
 
-    Kinv, ld = inv_logdet(k_ref[:], 0, N)
+    Kinv, ld = inv_logdet(k_ref[:], N)
     kinv_ref[:] = Kinv
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
 
