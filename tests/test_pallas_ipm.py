@@ -131,3 +131,21 @@ def test_kernel_warm_start_path():
         np.testing.assert_allclose(float(cB[b] @ warm[0][b]),
                                    float(cB[b] @ cold[0][b]),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_kernel_larger_cone_structure():
+    """C=8 cones of dim 8 with nx=6 — beyond the flagship's (4, 4, 4):
+    the static unrolling must generalize across the guard envelope
+    (nx <= 8, C, d <= 16)."""
+    cB, GB, hB, sx, sSZ = _random_batch(4, B=4, nx=6,
+                                        dims=(8, 8, 8, 8, 1, 1, 8, 8))
+    ref = jax.vmap(lambda *a: _solve_padded_plain(*a, 20, 1e-10))(
+        cB, GB, hB, sx, sSZ, sSZ)
+    got = batched_ipm(cB, GB, hB, sx, sSZ, sSZ, iters=20, tol=1e-10,
+                      interpret=True)
+    for b in range(cB.shape[0]):
+        sr = float(_score_padded(cB[b], GB[b], hB[b],
+                                 ref[0][b], ref[1][b], ref[2][b]))
+        sg = float(_score_padded(cB[b], GB[b], hB[b],
+                                 got[0][b], got[1][b], got[2][b]))
+        assert sg < max(3.0 * sr, 1e-3), (b, sr, sg)
