@@ -78,10 +78,21 @@ class CompiledController:
         replaces the model-propagated state so the loop stays closed on
         the real plant.  When None (pure simulation) the internally
         Euler-propagated state is used."""
+        if self._carry is None:
+            raise RuntimeError(
+                "controller state was invalidated by a failed tick "
+                "(the donated carry is gone); call restore(checkpoint) "
+                "before ticking again")
         carry = self._carry
         if x_measured is not None:
             x = jnp.asarray(x_measured, carry[0].dtype)
             carry = (x,) + tuple(carry[1:])
+        # The compiled tick donates the carry: once dispatched, the old
+        # buffers are dead whether or not the call succeeds (transient
+        # remote-compile/TPU errors included).  Drop our reference first
+        # so a failure leaves the controller in an explicit
+        # needs-restore state instead of silently holding deleted arrays.
+        self._carry = None
         new_carry, (x, u, xdot, info, knl) = self._compiled(
             carry, jnp.asarray(self._t, dtype=jnp.int32))
         self._carry = new_carry
@@ -89,15 +100,22 @@ class CompiledController:
         return np.asarray(u), info
 
     def state(self):
-        """The device-resident carry (x, GP/learner state[, warm-start])
-        — a pytree of arrays; checkpoint it with
-        observability.save_checkpoint for warm restarts."""
-        return self._carry
+        """A snapshot of the device-resident carry (x, GP/learner
+        state[, warm-start]) — a pytree of arrays; checkpoint it with
+        observability.save_checkpoint for warm restarts.
+
+        Returns a defensive copy: the live carry is donated to the next
+        tick(), which would invalidate the returned buffers mid-use."""
+        if self._carry is None:
+            raise RuntimeError(
+                "controller state unavailable after a failed tick; "
+                "call restore(checkpoint) first")
+        return jax.tree.map(jnp.copy, self._carry)
 
     def restore(self, carry) -> None:
         """Install a carry previously taken from `state()` (e.g. loaded
         via observability.load_checkpoint)."""
-        self._carry = _uniquify(carry)
+        self._carry = _uniquify(jax.tree.map(jnp.copy, carry))
 
     def cost_analysis(self):
         """XLA cost analysis of the compiled tick (flops, bytes)."""

@@ -123,9 +123,14 @@ def make_pendulum_online_sim(
 
 # jitted-runner cache keyed on the sim object: re-jitting a fresh closure
 # per call recompiles the whole segmented episode program every time (the
-# 25-segment flagship pendulum costs ~2 min per compile on this host) —
-# same pattern as sim.rollout._SIM_CACHE
-_RUN_CACHE: dict = {}
+# flagship pendulum program costs minutes per compile on this host) —
+# same pattern as sim.rollout._SIM_CACHE.  Bounded LRU so a long
+# parameter sweep in one process doesn't pin every sim + its compiled
+# executables forever.
+from collections import OrderedDict
+
+_RUN_CACHE: "OrderedDict" = OrderedDict()
+_RUN_CACHE_MAX = 8
 
 
 def _cached_jit(sim, tag, fn):
@@ -133,6 +138,10 @@ def _cached_jit(sim, tag, fn):
     entry = _RUN_CACHE.get(key)
     if entry is None or entry[0] is not sim:
         _RUN_CACHE[key] = (sim, jax.jit(fn))
+        while len(_RUN_CACHE) > _RUN_CACHE_MAX:
+            _RUN_CACHE.popitem(last=False)
+    else:
+        _RUN_CACHE.move_to_end(key)
     return _RUN_CACHE[key][1]
 
 

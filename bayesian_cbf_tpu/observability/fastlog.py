@@ -55,8 +55,13 @@ def _load_or_build_lib():
     if os.environ.get("BAYESIAN_CBF_TPU_NO_NATIVE"):
         return None
     paths = list(_candidate_lib_paths())
+    try:
+        src_mtime = osp.getmtime(_NATIVE_SRC)
+    except OSError:
+        # source not shipped (trimmed install): any prebuilt .so is fresh
+        src_mtime = float("-inf")
     for p in paths:
-        if osp.exists(p) and osp.getmtime(p) >= osp.getmtime(_NATIVE_SRC):
+        if osp.exists(p) and osp.getmtime(p) >= src_mtime:
             try:
                 _lib_cache = _bind(ctypes.CDLL(p))
                 return _lib_cache

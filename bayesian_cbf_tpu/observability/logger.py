@@ -322,18 +322,72 @@ def replay_run(run_dir, savefile=None, animate=False, fps=25,
 # -- checkpointing -----------------------------------------------------------
 
 def save_checkpoint(path: str, pytree) -> None:
-    """Serialize a pytree of arrays to one .npz + a structure file."""
+    """Serialize a pytree of arrays to one .npz + a structure file.
+
+    The sidecar `<path>.tree` is a JSON manifest recording the treedef
+    string, per-leaf shapes/dtypes, and the package version; it is
+    VALIDATED on load — the analogue of the reference's state_dict
+    protocol guarantees (control_affine_model.py:862-874)."""
     leaves, treedef = jax.tree.flatten(pytree)
-    np.savez(path, *[np.asarray(l) for l in leaves])
+    arrs = [np.asarray(l) for l in leaves]
+    np.savez(path, *arrs)
+    manifest = {
+        "version": version_stamp(),
+        "treedef": str(treedef),
+        "shapes": [list(a.shape) for a in arrs],
+        "dtypes": [str(a.dtype) for a in arrs],
+    }
     with open(path + ".tree", "w") as f:
-        f.write(str(treedef))
+        json.dump(manifest, f, indent=1)
 
 
-def load_checkpoint(path: str, like):
-    """Restore arrays into the structure of `like` (same pytree shape)."""
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+def load_checkpoint(path: str, like, strict: bool = True):
+    """Restore arrays into the structure of `like` (same pytree shape).
+
+    Validates the stored manifest (treedef + leaf shapes) against both
+    the archive and `like` before unflattening; a mismatched checkpoint
+    raises ValueError with the offending structure instead of silently
+    reshaping into the wrong pytree.  strict=False skips the treedef
+    string comparison (shape/count checks still apply) for restoring
+    into a structurally-compatible but differently-typed container."""
+    base = path[:-4] if path.endswith(".npz") else path
+    data = np.load(base + ".npz")
     leaves = [data[k] for k in sorted(data.files,
                                       key=lambda s: int(s.split("_")[1]))]
-    _, treedef = jax.tree.flatten(like)
+    like_leaves, treedef = jax.tree.flatten(like)
+    if len(leaves) != len(like_leaves):
+        raise ValueError(
+            "checkpoint %s holds %d leaves but the target structure has "
+            "%d — wrong checkpoint for this pytree"
+            % (path, len(leaves), len(like_leaves)))
+    manifest = None
+    if osp.exists(base + ".tree"):
+        with open(base + ".tree") as f:
+            raw = f.read()
+        try:
+            manifest = json.loads(raw)
+        except json.JSONDecodeError:
+            manifest = None     # legacy str(treedef)-only sidecar
+    if manifest is not None:
+        shapes = [tuple(s) for s in manifest.get("shapes", [])]
+        got = [tuple(a.shape) for a in leaves]
+        if shapes and shapes != got:
+            raise ValueError(
+                "checkpoint %s: archive leaf shapes %s disagree with its "
+                "own manifest %s — corrupt or mixed checkpoint files"
+                % (path, got, shapes))
+        if strict and manifest.get("treedef") not in (None, str(treedef)):
+            raise ValueError(
+                "checkpoint %s was saved for pytree structure\n  %s\n"
+                "but the target structure is\n  %s\n(saved by version %s; "
+                "pass strict=False to restore by position anyway)"
+                % (path, manifest.get("treedef"), str(treedef),
+                   manifest.get("version", "?")))
+    for i, (a, want) in enumerate(zip(leaves, like_leaves)):
+        w = np.shape(want)
+        if tuple(a.shape) != tuple(w):
+            raise ValueError(
+                "checkpoint %s: leaf %d has shape %s but the target "
+                "expects %s" % (path, i, tuple(a.shape), tuple(w)))
     import jax.numpy as jnp
     return jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])

@@ -52,16 +52,28 @@ def _chol_inv_core(K):
     return _ref_fwd(K)
 
 
-@_chol_inv_core.def_vmap
-def _chol_inv_vmap_rule(axis_size, in_batched, K):
+def _want_pallas(K):
     use = USE_PALLAS
     if use is None:
         use = (jax.default_backend() == "tpu"
                and K.dtype == jnp.float32
                and K.shape[-1] <= _PALLAS_MAX_N)
-    if use:
+    return use
+
+
+@_chol_inv_core.def_vmap
+def _chol_inv_vmap_rule(axis_size, in_batched, K):
+    if not in_batched[0]:
+        # unbatched operand under vmap: compute once, mark unbatched
+        return _ref_fwd(K), (False, False)
+    if _want_pallas(K) and K.ndim >= 3:
         from .pallas_chol import batched_chol_with_inv
-        out = batched_chol_with_inv(K)
+        # the kernel wants exactly one batch dim; collapse nested vmap
+        # levels (K can be >3-D when this op sits under stacked vmaps)
+        lead = K.shape[:-2]
+        L, Linv = batched_chol_with_inv(K.reshape((-1,) + K.shape[-2:]))
+        out = (L.reshape(lead + L.shape[-2:]),
+               Linv.reshape(lead + Linv.shape[-2:]))
     else:
         out = _ref_fwd(K)
     return out, (True, True)
@@ -153,14 +165,17 @@ def _kinv_logdet_vmap_rule(axis_size, in_batched, K):
     """Batched dispatch: the recursive Schur/sweep Pallas kernel on TPU
     f32 (ops/pallas_sweep.py) — no triangular op anywhere; XLA
     Cholesky-based reference elsewhere."""
-    use = USE_PALLAS
-    if use is None:
-        use = (jax.default_backend() == "tpu"
-               and K.dtype == jnp.float32
-               and K.shape[-1] <= _PALLAS_MAX_N)
-    if use:
+    if not in_batched[0]:
+        return _kinv_logdet_ref(K), (False, False)
+    if _want_pallas(K) and K.ndim >= 3:
         from .pallas_sweep import batched_kinv_logdet
-        out = batched_kinv_logdet(K)
+        # collapse any nested-vmap leading dims to the kernel's single
+        # batch axis, then restore them
+        lead = K.shape[:-2]
+        Kinv, logdet = batched_kinv_logdet(
+            K.reshape((-1,) + K.shape[-2:]))
+        out = (Kinv.reshape(lead + Kinv.shape[-2:]),
+               logdet.reshape(lead))
     else:
         out = _kinv_logdet_ref(K)
     return out, (True, True)

@@ -42,8 +42,16 @@ def batched_rollouts(sim: UnicycleSim, x0s, keys, mesh: Optional[Mesh] = None):
     scalar cond (see _simulate_unicycle_batch)."""
     if mesh is None:
         mesh = make_mesh()
+    x0s = jnp.asarray(x0s)
+    dp = mesh.shape["dp"]
+    if x0s.shape[0] % dp != 0:
+        raise ValueError(
+            "batched_rollouts: batch size B=%d is not divisible by the "
+            "dp mesh axis (%d devices); pad the batch to a multiple of "
+            "%d or pass a smaller mesh (make_mesh(n_devices=...))"
+            % (x0s.shape[0], dp, dp))
     batch_sharding = NamedSharding(mesh, P("dp"))
-    x0s = jax.device_put(jnp.asarray(x0s), batch_sharding)
+    x0s = jax.device_put(x0s, batch_sharding)
     keys = jax.device_put(jnp.asarray(keys), batch_sharding)
 
     fn = jax.jit(lambda a, k: _simulate_unicycle_batch(sim, a, k),

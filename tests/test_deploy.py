@@ -69,3 +69,49 @@ def test_checkpoint_roundtrip(tmp_path):
     ctl2._t = 5
     u6b, _ = ctl2.tick()
     np.testing.assert_allclose(u6b, u6, rtol=1e-6)
+
+
+def test_state_snapshot_survives_next_tick():
+    """ADVICE r2: state() must return a defensive copy — the live carry
+    is donated to the next tick, which deletes its buffers."""
+    sim = _small_sim()
+    ctl = CompiledController(sim, STATE_START)
+    ctl.tick()
+    snap = ctl.state()
+    ctl.tick()          # donates the live carry
+    # the snapshot must still be readable (would raise 'Array has been
+    # deleted' before the fix)
+    vals = [np.asarray(l) for l in jax.tree.leaves(snap)]
+    assert all(np.all(np.isfinite(v)) or v.dtype.kind in "ib"
+               for v in vals)
+
+
+def test_failed_tick_leaves_explicit_needs_restore_state():
+    """If the compiled tick raises after the carry was donated, the
+    controller must refuse further ticks until restore() instead of
+    holding invalidated buffers."""
+    import pytest
+    sim = _small_sim()
+    ctl = CompiledController(sim, STATE_START)
+    ctl.tick()
+    snap = ctl.state()
+
+    class _Boom(RuntimeError):
+        pass
+
+    real = ctl._compiled
+
+    def boom(*a, **k):
+        raise _Boom("transient device error")
+
+    ctl._compiled = boom
+    with pytest.raises(_Boom):
+        ctl.tick()
+    ctl._compiled = real
+    with pytest.raises(RuntimeError, match="restore"):
+        ctl.tick()
+    with pytest.raises(RuntimeError, match="restore"):
+        ctl.state()
+    ctl.restore(snap)
+    u, _ = ctl.tick()
+    assert np.all(np.isfinite(u))

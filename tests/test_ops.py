@@ -177,3 +177,51 @@ def test_fused_gram_accurate_for_near_duplicate_points():
     rbf = 1.3 * np.exp(-0.5 * (d ** 2).sum(-1))
     ref = rbf * (UHB @ UHB.T) + 1e-6 * np.eye(40)
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_kinv_logdet_nested_vmap_collapses_batch_dims(monkeypatch):
+    """ADVICE r2: a nested vmap hands the custom-vmap rule a >3-D K; the
+    rule must collapse leading dims before the kernel call (which only
+    accepts (B, n, n)) and restore them after."""
+    from bayesian_cbf_tpu.ops import cholinv
+    seen = {}
+
+    def fake_kernel(K):
+        seen["shape"] = K.shape
+        assert K.ndim == 3, K.shape
+        return cholinv._kinv_logdet_ref(K)
+
+    monkeypatch.setattr(cholinv, "USE_PALLAS", True)
+    import bayesian_cbf_tpu.ops.pallas_sweep as ps
+    monkeypatch.setattr(ps, "batched_kinv_logdet", fake_kernel)
+    rng = np.random.default_rng(0)
+    n = 7
+    A = rng.normal(size=(2, 3, n, n))
+    K = jnp.asarray(A @ np.swapaxes(A, -1, -2) + n * np.eye(n))
+    Kinv, ld = jax.vmap(jax.vmap(cholinv.kinv_logdet))(K)
+    # the rule fires per vmap level (innermost first), so the kernel must
+    # have been handed exactly 3-D input (the fake kernel asserts ndim==3)
+    assert len(seen["shape"]) == 3
+    np.testing.assert_allclose(np.asarray(Kinv), np.linalg.inv(np.asarray(K)),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ld),
+                               np.linalg.slogdet(np.asarray(K))[1],
+                               rtol=1e-10)
+
+
+def test_kinv_logdet_unbatched_operand_under_vmap():
+    """vmap over an unrelated arg with K closed over (in_batched False):
+    the rule must not assume K carries a batch dim."""
+    from bayesian_cbf_tpu.ops import cholinv
+    rng = np.random.default_rng(1)
+    n = 5
+    A = rng.normal(size=(n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+
+    def f(scale):
+        Kinv, ld = cholinv.kinv_logdet(K)
+        return scale * ld
+
+    out = jax.vmap(f)(jnp.arange(1.0, 4.0))
+    want = np.arange(1.0, 4.0) * np.linalg.slogdet(np.asarray(K))[1]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
