@@ -47,10 +47,32 @@ def _uniquify(tree):
     return jax.tree.map(f, tree)
 
 
+def _with_continuous_updates(sim, flag: bool):
+    """Return `sim` with the learned-dynamics continuous_updates flag set
+    (handles both the unicycle sim's `learned_dynamics` field and the
+    pendulum sim's `learned`)."""
+    for field in ("learned_dynamics", "learned"):
+        lrn = getattr(sim, field, None)
+        if lrn is not None and hasattr(lrn, "continuous_updates"):
+            return sim._replace(**{field: lrn._replace(
+                continuous_updates=flag)})
+    raise ValueError("sim has no learned-dynamics field with a "
+                     "continuous_updates flag")
+
+
 class CompiledController:
     """AOT-compiled per-tick controller for deployment/serving."""
 
-    def __init__(self, sim, x0, key: Optional[jax.Array] = None):
+    def __init__(self, sim, x0, key: Optional[jax.Array] = None,
+                 continuous_updates: Optional[bool] = None):
+        """`continuous_updates=True` turns on per-tick O(K^2) rank-1
+        posterior appends in the compiled tick: every observed sample
+        enters the GP cache immediately (the reference can only
+        incorporate data through a full refit, control_affine_model.py:
+        379-395); scheduled hyperparameter refits still run on the
+        train_every_n_steps schedule.  None keeps the sim's own flag."""
+        if continuous_updates is not None:
+            sim = _with_continuous_updates(sim, continuous_updates)
         self.sim = sim
         if key is None:
             key = jax.random.PRNGKey(0)

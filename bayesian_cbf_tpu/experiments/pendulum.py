@@ -148,29 +148,23 @@ def _cached_jit(sim, tag, fn):
 def run_pendulum_online_learning(sim: PendulumOnlineSim,
                                  theta0=7 * math.pi / 12, omega0=0.0,
                                  seed=0):
-    from ..sim.rollout import fit_segments
+    from ..sim.rollout import scan_with_scheduled_fits
     x0 = jnp.asarray([theta0, omega0])
     key = jax.random.PRNGKey(seed)
     kd, ks = jax.random.split(key)
     dyn_state = sim.learned.init_state(kd, dtype=x0.dtype)
-    segs = fit_segments(sim.numSteps, sim.learned.train_every_n_steps,
-                        sim.learned.enable_learning)
 
     def run(x0, dyn_state, ks):
-        carry = (x0, dyn_state, ks)
-        ys = []
-        for (s, e, do_fit) in segs:
-            carry, y = jax.lax.scan(sim.step_no_fit, carry,
-                                    jnp.arange(s, e))
-            ys.append(y)
-            if do_fit:
-                x, st, k = carry
-                fitted = sim.learned.fit_now(st)
-                st = jax.tree.map(
-                    lambda a, b: jnp.where(st.count_res > 0, a, b),
-                    fitted, st)
-                carry = (x, st, k)
-        return jax.tree.map(lambda *a: jnp.concatenate(a, 0), *ys)
+        # one scan with the refit behind a scalar in-body cond: same
+        # schedule as the segmented runner (pinned by
+        # test_single_runner_matches_segmented_reference) but the fit
+        # program compiles ONCE instead of once per segment — the
+        # 25-segment flagship program took minutes to compile
+        _, ys = scan_with_scheduled_fits(
+            sim.step_no_fit, sim.learned.fit_now, (x0, dyn_state, ks),
+            sim.numSteps, sim.learned.train_every_n_steps,
+            sim.learned.enable_learning)
+        return ys
 
     X, U, Xdot, info = _cached_jit(sim, "online_single", run)(
         x0, dyn_state, ks)
@@ -245,23 +239,29 @@ def ground_truth_cbf_clf_control(x, clf, cbf2, ctrl_range=(-15.0, 15.0),
     affine constraints A_i(x) u <= b_i(x) from EnergyCLF (slack-relaxed)
     and RadialCBFRelDegree2 (hard), minimize ||u||^2 + w * slack^2.
 
-    Here: variables [u, slack, t]; rotated cone for the quadratic
-    objective; the CLF row gets the slack, the CBF row is hard."""
+    Here: variables [u, slack, y]; the objective is the NORM epigraph
+    ||[u; sqrt(w) slack]|| <= y, minimize y — same argmin as the
+    reference's quadratic (sqrt is monotone) but f32-solvable.  The
+    rotated-cone homogenization ||[2u; 2 sqrt(w) s; t-1]|| <= t+1 used
+    through round 2 puts the SQUARED cost on the epigraph variable
+    (t* ~ 5.6e3 at the episode start, vs problem data of scale ~1-20):
+    measured round 3, the f32 IPM — plain AND Pallas — diverges from the
+    cold start on that scaling at the very first control step (score
+    0.97, returns u=0, pendulum swings into the wedge), while the norm
+    form (y* ~ 75) solves to pres ~1e-6."""
     import jax.numpy as jnp
     from ..solvers.socp import solve_socp
     dtype = x.dtype
     m = 1
     nvar = m + 2
-    # objective ||[u; sqrt(w) slack]||^2 <= t via ||[2u; 2 sqrt(w) s; t-1]||
-    # <= t+1
     sw = math.sqrt(margin_weight)
-    A = jnp.zeros((m + 2, nvar), dtype)
-    A = A.at[0, 0].set(2.0).at[1, 1].set(2.0 * sw).at[2, 2].set(1.0)
-    b = jnp.zeros((m + 2,), dtype).at[m + 1].set(-1.0)
+    # ||[u; sw*s]|| <= y: cone rows [y; u; sw*s]
+    A = jnp.zeros((m + 1, nvar), dtype)
+    A = A.at[0, 0].set(1.0).at[1, 1].set(sw)
     cvec = jnp.zeros((nvar,), dtype).at[2].set(1.0)
     Gs = [jnp.concatenate([-cvec[None, :], -A], 0)]
-    hs = [jnp.concatenate([jnp.ones((1,), dtype), b])]
-    dims = [m + 3]
+    hs = [jnp.zeros((m + 2,), dtype)]
+    dims = [m + 2]
 
     def lin(coef, const):
         Gs.append(-coef[None, :])
@@ -283,7 +283,14 @@ def ground_truth_cbf_clf_control(x, clf, cbf2, ctrl_range=(-15.0, 15.0),
     cobj = jnp.zeros((nvar,), dtype).at[2].set(1.0)
     sol = solve_socp(cobj, jnp.concatenate(Gs, 0), jnp.concatenate(hs, 0),
                      tuple(dims), iters=socp_iters)
-    return sol.x[:m], sol
+    # feasibility gate (design invariant: callers gate on pres with a
+    # dtype-aware tolerance and fall back in-graph; the reference raises
+    # InfeasibleProblemError here, optimizers.py:74-86)
+    feas_tol = 1e-6 if dtype == jnp.float64 else 5e-3
+    ok = (sol.pres < feas_tol) & jnp.all(jnp.isfinite(sol.x))
+    u = jnp.where(ok, jnp.clip(sol.x[:m], ctrl_range[0], ctrl_range[1]),
+                  jnp.zeros((m,), dtype))
+    return u, sol
 
 
 def run_pendulum_ground_truth(numSteps=400, dt=0.01,
@@ -305,11 +312,26 @@ def run_pendulum_ground_truth(numSteps=400, dt=0.01,
     return X, U, pres
 
 
-def pendulum_damage_fraction(theta_traj, theta_c=math.pi / 4,
-                             delta_col=math.pi / 8):
-    """Fraction of steps in the unsafe collision wedge
-    |theta - theta_c| < delta_col (the reference's damage indicator,
-    pendulum.py:164-252)."""
+def pendulum_damage_fraction(theta_traj):
+    """Fraction of steps with 0 < theta < pi/4 — the reference's damage
+    indicator EXACTLY (pendulum.py:206-207: `if 0<theta_vec[t]<math.pi/4:
+    damage_vec[t]=1`, on theta wrapped to [-pi, pi]).  Note this is NOT
+    the radial CBF's unsafe wedge |theta - pi/4| < pi/8; see
+    `pendulum_wedge_fraction` for that stricter barrier-violation
+    metric."""
+    th = jnp.asarray(theta_traj)
+    th = jnp.mod(th + math.pi, 2 * math.pi) - math.pi
+    return jnp.mean(((th > 0) & (th < math.pi / 4)).astype(jnp.float32))
+
+
+def pendulum_wedge_fraction(theta_traj, theta_c=math.pi / 4,
+                            delta_col=math.pi / 8):
+    """Fraction of steps inside the radial CBF's unsafe wedge
+    |theta - theta_c| < delta_col (h < 0 for RadialCBFRelDegree2) — a
+    stricter safety diagnostic than the reference's damage indicator:
+    the probabilistic CBC admits per-step violation mass max_unsafe_prob,
+    so small wedge grazing is possible by design while reference-damage
+    stays 0."""
     d = jnp.abs(jnp.asarray(theta_traj) - theta_c)
     d = jnp.minimum(d, 2 * math.pi - d)
     return jnp.mean((d < delta_col).astype(jnp.float32))

@@ -132,24 +132,47 @@ def _where_tree(keep, a_tree, b_tree):
     return jax.tree.map(sel, a_tree, b_tree)
 
 
+def scan_with_scheduled_fits(step_fn, fit_fn, carry, numSteps: int,
+                             train_every: int, enable: bool,
+                             state_index: int = 1):
+    """Single-episode rollout as ONE scan with the scheduled refit behind
+    a scalar `lax.cond` inside the body.
+
+    Semantics are identical to cutting the scan at `fit_segments`
+    boundaries (the fit runs after completing step t for every positive
+    multiple t of train_every, guarded on a non-empty buffer), but the
+    fit program appears ONCE in the compiled module instead of once per
+    segment — the flagship pendulum episode has 25 fit events, and the
+    segmented program's compile time scales with the segment count
+    (round-3 directive 8).  Only valid UNBATCHED: under vmap a cond
+    lowers to select and would run the Adam fit loop every step — the
+    batched runners (`_simulate_unicycle_batch`,
+    `run_pendulum_online_batch`) keep the segmented structure.
+
+    `carry[state_index]` must be the LearnedDynState (exposes count_res).
+    """
+    do_sched = enable and train_every > 0
+
+    def body(carry, t):
+        carry, y = step_fn(carry, t)
+        if do_sched:
+            st = carry[state_index]
+            do_fit = ((t > 0) & (t % train_every == 0)
+                      & (st.count_res > 0))
+            st = jax.lax.cond(do_fit, fit_fn, lambda s: s, st)
+            carry = (carry[:state_index] + (st,)
+                     + carry[state_index + 1:])
+        return carry, y
+
+    return jax.lax.scan(body, carry, jnp.arange(numSteps))
+
+
 def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
     lrn = sim.learned_dynamics
     carry = sim.init_state(x0, key)
-    segs = fit_segments(sim.numSteps, lrn.train_every_n_steps,
-                        lrn.enable_learning)
-    ys = []
-    for (s, e, do_fit) in segs:
-        carry, y = jax.lax.scan(sim.step_no_fit, carry, jnp.arange(s, e))
-        ys.append(y)
-        if do_fit:
-            dyn_state = carry[1]
-            fitted = lrn.fit_now(dyn_state)
-            dyn_state = jax.tree.map(
-                lambda a, b: jnp.where(dyn_state.count_res > 0, a, b),
-                fitted, dyn_state)
-            carry = (carry[0], dyn_state) + tuple(carry[2:])
-    X, U, Xdot, info, knl = jax.tree.map(
-        lambda *a: jnp.concatenate(a, 0), *ys)
+    _, (X, U, Xdot, info, knl) = scan_with_scheduled_fits(
+        sim.step_no_fit, lrn.fit_now, carry, sim.numSteps,
+        lrn.train_every_n_steps, lrn.enable_learning)
     return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
 
 

@@ -46,6 +46,21 @@ import jax.numpy as jnp
 
 _EPS = 1e-14
 
+# All einsums in this solver are pinned to full-f32 accumulation: on TPU
+# the default matmul precision lowers these tiny (C, d, nx) contractions
+# to bf16 MXU passes, which was the WHOLE source of the round-2 f32
+# plateau of the vmapped plain path (KKT scores 1e-2..1 where the Pallas
+# kernel — explicit VPU mul+sum, naturally full f32 — reached 1e-4).
+# Measured round 3 (256 random mixed-cone f32 problems on chip): median
+# KKT 1.03e-2 default vs 3.02e-4 pinned vs 3.04e-4 kernel.  The dispatch
+# gate below (_socp_dispatch) is therefore a pure PERFORMANCE choice; the
+# two paths are numerically equivalent.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _esum(spec, *ops):
+    return jnp.einsum(spec, *ops, precision=_HI)
+
 
 class SOCPSolution(NamedTuple):
     x: jax.Array
@@ -220,8 +235,8 @@ def _score_padded(c, Gp, hp, x, S, Z):
     nu = float(Gp.shape[0])
     hnorm = jnp.maximum(1.0, jnp.linalg.norm(hp))
     cnorm = jnp.maximum(1.0, jnp.linalg.norm(c))
-    rx = c + jnp.einsum('cdn,cd->n', Gp, Z)
-    rz = jnp.einsum('cdn,n->cd', Gp, x) + S - hp
+    rx = c + _esum('cdn,cd->n', Gp, Z)
+    rz = _esum('cdn,n->cd', Gp, x) + S - hp
     mu = jnp.abs(jnp.sum(S * Z)) / nu
     return jnp.maximum(jnp.maximum(jnp.linalg.norm(rz) / hnorm,
                                    jnp.linalg.norm(rx) / cnorm), mu)
@@ -253,8 +268,8 @@ def _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol):
                 jnp.where(better, Z, bZ), jnp.minimum(score, bscore))
         done = score < tol
 
-        rx = c + jnp.einsum('cdn,cd->n', Gp, Z)
-        rz = jnp.einsum('cdn,n->cd', Gp, x) + S - hp
+        rx = c + _esum('cdn,cd->n', Gp, Z)
+        rz = _esum('cdn,n->cd', Gp, x) + S - hp
         mu = jnp.sum(S * Z) / nu
 
         Wb, eta = _nt_scaling(S, Z)
@@ -262,11 +277,11 @@ def _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol):
 
         # W^{-2} applied to every column of G (vectorized over nx)
         Jw = _jflip(Wb)                                    # (C, d)
-        dots = jnp.einsum('cd,cdn->cn', Jw, Gp)            # (C, nx)
+        dots = _esum('cd,cdn->cn', Jw, Gp)            # (C, nx)
         JG = jnp.concatenate([Gp[:, :1, :], -Gp[:, 1:, :]], axis=1)
         Winv2G = (2.0 * Jw[:, :, None] * dots[:, None, :] - JG) \
             / (eta ** 2)[:, None, None]                    # (C, d, nx)
-        H = jnp.einsum('cdn,cdm->nm', Gp, Winv2G)
+        H = _esum('cdn,cdm->nm', Gp, Winv2G)
         H = H + 1e-12 * jnp.trace(H) * jnp.eye(nx, dtype=dtype)
         if nx <= _UNROLL_MAX_N:
             Lun = _chol_unrolled(H)
@@ -278,10 +293,10 @@ def _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol):
         def kkt_solve(Dscaled):
             """Dscaled (C,d) with  W dz + W^{-T} ds = -Dscaled."""
             rhs_cd = rz - _w_mul(Wb, eta, Dscaled)
-            rhs = -rx - jnp.einsum('cdn,cd->n', Gp,
+            rhs = -rx - _esum('cdn,cd->n', Gp,
                                    _winv2_mul(Wb, eta, rhs_cd))
             dx = hsolve(rhs)
-            Gdx = jnp.einsum('cdn,n->cd', Gp, dx)
+            Gdx = _esum('cdn,n->cd', Gp, dx)
             dS = -rz - Gdx
             dZ = _winv2_mul(Wb, eta, Gdx + rhs_cd)
             return dx, dS, dZ
@@ -330,7 +345,15 @@ def _solve_padded(c, Gp, hp, sx, sS, sZ, iters, tol):
     """Dispatch for the padded-core solve: under vmap on TPU f32 the whole
     batch of IPMs runs as ONE Pallas lane-major kernel (ops/pallas_ipm.py)
     — inside a rollout scan the plain path costs ~20 un-fusable kernels
-    per Mehrotra iteration per step; elsewhere, the plain implementation."""
+    per Mehrotra iteration per step; elsewhere, the plain implementation.
+
+    This gate is a pure PERFORMANCE choice: with the solver's einsums
+    pinned to full-f32 accumulation (`_esum`), the plain path reaches the
+    same KKT scores as the kernel on TPU f32 (median 3.0e-4 on 256 random
+    mixed-cone problems, round-3 record `records/tpu_round3.jsonl:
+    ipm_plain_vs_kernel_kkt`) — any config the kernel doesn't cover
+    (nx > 8, d > 16, C > 16, non-f32, non-TPU) gets equivalent numerics,
+    just through more XLA kernels."""
     if c.ndim == 1:
         return _socp_dispatch(iters, tol)(c, Gp, hp, sx, sS, sZ)
     return _solve_padded_plain(c, Gp, hp, sx, sS, sZ, iters, tol)
@@ -434,8 +457,8 @@ def solve_socp(c: jax.Array, G: jax.Array, h: jax.Array,
 
     hnorm = jnp.maximum(1.0, jnp.linalg.norm(hp))
     cnorm = jnp.maximum(1.0, jnp.linalg.norm(c))
-    pres = jnp.linalg.norm(jnp.einsum('cdn,n->cd', Gp, x) + S - hp) / hnorm
-    dres = jnp.linalg.norm(c + jnp.einsum('cdn,cd->n', Gp, Z)) / cnorm
+    pres = jnp.linalg.norm(_esum('cdn,n->cd', Gp, x) + S - hp) / hnorm
+    dres = jnp.linalg.norm(c + _esum('cdn,cd->n', Gp, Z)) / cnorm
     gap = jnp.abs(jnp.sum(S * Z)) / nu
     return SOCPSolution(x=x, s=S, z=Z, pres=pres, dres=dres, gap=gap,
                         pcost=c @ x)

@@ -88,6 +88,56 @@ def main():
         "warm_start": warm,
         "wall_s_per_batch": round(dt_run, 4),
     }
+
+    # --- versioned roofline (round-3 directive 4): per-phase walls +
+    # bandwidth utilization against the MEASURED achievable HBM stream
+    # (109 GB/s on this part, records/tpu_round2.jsonl:
+    # moments_bandwidth_analysis — NOT the datasheet number).
+    if os.environ.get("BENCH_PHASES", "1") == "1" and platform != "cpu":
+        def measure_variant(**kw):
+            from bayesian_cbf_tpu.experiments.unicycle import (
+                make_ackermann_tracking_sim as mk)
+            cfg = dict(dt=0.001, numSteps=num_steps, true_L=1.0,
+                       mean_L=12.0, kernel_diag_A=(1.0, 1.0, 1.0),
+                       max_risk=0.01, enable_learning=True,
+                       train_every_n_steps=train_every,
+                       max_train=max_train, training_iter=training_iter,
+                       socp_iters=25, warm_start=warm, socp_iters_warm=15)
+            cfg.update(kw)
+            vsim = mk(**cfg)
+            vrun = jax.jit(lambda a, k: _simulate_unicycle_batch(vsim, a, k))
+            o = vrun(x0s, keys)
+            jax.block_until_ready(o.X)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = vrun(x0s, keys)
+                jax.block_until_ready(o.X)
+            return (time.perf_counter() - t0) / reps
+
+        t_full = dt_run
+        t_norefit = measure_variant(train_every_n_steps=10 ** 6)
+        t_prior = measure_variant(enable_learning=False)
+        hbm_gbps = 109.0            # measured achievable stream, not datasheet
+        # posterior moments stream the (B, k, k) Linv cache once per step
+        moments_bytes = batch * max_train * max_train * 4 * num_steps
+        t_moments = max(t_norefit - t_prior, 1e-9)
+        n_fits = max(num_steps // train_every, 1) if train_every < num_steps \
+            else 0
+        t_refit = max(t_full - t_norefit, 0.0)
+        result["phases"] = {
+            "rollout_cones_socp_s": round(t_prior, 4),
+            "gp_moments_s": round(t_moments, 4),
+            "refit_s": round(t_refit, 4),
+            "refit_ms_per_adam_iter": (
+                round(t_refit / (n_fits * training_iter) * 1e3, 3)
+                if n_fits else None),
+        }
+        result["bw_util"] = {
+            "hbm_gbps_measured": hbm_gbps,
+            "moments_floor_s": round(moments_bytes / (hbm_gbps * 1e9), 4),
+            "moments_bw_util": round(
+                moments_bytes / (hbm_gbps * 1e9) / t_moments, 3),
+        }
     print(json.dumps(result))
 
 

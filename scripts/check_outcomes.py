@@ -55,6 +55,47 @@ def main():
                             and res["learning"]["goal_dist"] < 1.5),
         "no_learning_stuck": res["no_learning"]["goal_dist"] > 2.5,
     }
+
+    # --- pendulum outcomes (round-3 directive 7: the rel-deg-2 stack) ---
+    import math
+    from bayesian_cbf_tpu.experiments.pendulum import (
+        make_pendulum_online_sim, run_pendulum_online_learning,
+        run_pendulum_ground_truth, pendulum_damage_fraction,
+        pendulum_wedge_fraction)
+    sim = make_pendulum_online_sim(max_train=200)      # flagship config
+    X, U, Xdot, info = run_pendulum_online_learning(sim)
+    X = np.asarray(X)
+    res["pendulum_online"] = {
+        "damage": round(float(pendulum_damage_fraction(X[:, 0])), 4),
+        "wedge_frac": round(float(pendulum_wedge_fraction(X[:, 0])), 4),
+        "theta_end": round(float(X[-1, 0]), 4),
+        "feasible": round(float(np.mean(np.asarray(info["feasible"]))), 4),
+        "finite": bool(np.all(np.isfinite(X))),
+    }
+    Xg, Ug, pres = run_pendulum_ground_truth()
+    Xg = np.asarray(Xg)
+    res["pendulum_ground_truth"] = {
+        "damage": round(float(pendulum_damage_fraction(Xg[:, 0])), 4),
+        "wedge_frac": round(float(pendulum_wedge_fraction(Xg[:, 0])), 4),
+        "theta_end": round(float(Xg[-1, 0]), 4),
+        "max_pres": float(np.max(np.asarray(pres))),
+    }
+    verdicts.update({
+        # the reference damage indicator (pendulum.py:206) must be clean
+        # for BOTH the learned online episode and the ground-truth QP
+        "pendulum_online_no_damage":
+            res["pendulum_online"]["damage"] == 0.0
+            and res["pendulum_online"]["finite"]
+            and res["pendulum_online"]["feasible"] > 0.9,
+        # the ground-truth QP must hold the barrier exactly: parks at the
+        # wedge edge (theta ~1.18-1.45), never enters, solver clean
+        "pendulum_gt_safe":
+            res["pendulum_ground_truth"]["wedge_frac"] == 0.0
+            and res["pendulum_ground_truth"]["damage"] == 0.0
+            and res["pendulum_ground_truth"]["max_pres"] < 1e-4
+            and (math.pi / 4 + math.pi / 8 - 0.05
+                 < res["pendulum_ground_truth"]["theta_end"] < 1.45),
+    })
     out = {"results": res, "verdicts": verdicts,
            "all_pass": all(verdicts.values()),
            "wall_s": round(time.time() - t0, 1)}

@@ -115,3 +115,52 @@ def test_failed_tick_leaves_explicit_needs_restore_state():
     ctl.restore(snap)
     u, _ = ctl.tick()
     assert np.all(np.isfinite(u))
+
+
+def test_serving_continuous_updates_tracks_refresh():
+    """Round-3 directive 5: continuous_updates=True in the serving path —
+    every tick rank-1-appends the observed sample into the GP cache, and
+    after N ticks the cache matches a full refresh_cache of the same
+    buffer (reference cache semantics: control_affine_model.py:379-395,
+    which can only refresh in full)."""
+    sim = make_ackermann_tracking_sim(
+        numSteps=40, dt=0.01, max_train=32, training_iter=4,
+        train_every_n_steps=1000)       # no scheduled refit in this window
+    ctl = CompiledController(sim, STATE_START, continuous_updates=True)
+    for _ in range(12):
+        u, info = ctl.tick()
+        assert np.all(np.isfinite(u))
+    st = ctl.state()[1]
+    gp = sim.learned_dynamics.gp
+    full = gp.refresh_cache(st.params, st.buf)
+    # ticks 2..12 appended ~11 samples one at a time
+    assert float(jnp.sum(st.buf.mask)) >= 10
+    np.testing.assert_allclose(np.asarray(st.cache.L),
+                               np.asarray(full.L), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.cache.alpha),
+                               np.asarray(full.alpha), rtol=1e-6, atol=1e-6)
+    # the appended cache must actually be USED: posterior mean from the
+    # carry cache equals the full-refresh posterior
+    x = np.asarray(ctl.state()[0])
+    m1 = gp.fu_mean(st.params, st.buf, st.cache,
+                    jnp.zeros(sim.learned_dynamics.gp.u_dim), jnp.asarray(x))
+    m2 = gp.fu_mean(st.params, st.buf, full,
+                    jnp.zeros(sim.learned_dynamics.gp.u_dim), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+
+
+def test_serving_continuous_updates_with_refit_crossing():
+    """Appends + a scheduled refit interleave cleanly: crossing the
+    refit tick keeps the cache consistent with the post-fit params."""
+    sim = make_ackermann_tracking_sim(
+        numSteps=40, dt=0.01, max_train=16, training_iter=3,
+        train_every_n_steps=8)
+    ctl = CompiledController(sim, STATE_START, continuous_updates=True)
+    for _ in range(12):                  # crosses the refit at t=8
+        u, info = ctl.tick()
+        assert np.all(np.isfinite(u))
+    st = ctl.state()[1]
+    gp = sim.learned_dynamics.gp
+    full = gp.refresh_cache(st.params, st.data)
+    np.testing.assert_allclose(np.asarray(st.cache.L),
+                               np.asarray(full.L), rtol=1e-6, atol=1e-8)

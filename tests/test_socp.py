@@ -175,3 +175,26 @@ def test_unrolled_kkt_matches_lapack():
     np.testing.assert_allclose(float(sol_unrolled.pcost),
                                float(sol_lapack.pcost), atol=1e-8)
     assert float(sol_unrolled.pres) < 1e-8
+
+
+def test_solver_einsums_pinned_to_full_precision():
+    """Round-3 directive 2: every contraction in the IPM must request
+    HIGHEST matmul precision — on TPU the default lowers the tiny cone
+    contractions to bf16 MXU passes, which was the entire source of the
+    f32 plain-path KKT plateau (1e-2..1 vs the kernel's 1e-4; measured
+    on-chip, records/tpu_round3.jsonl:ipm_plain_vs_kernel_kkt)."""
+    from bayesian_cbf_tpu.solvers.socp import _solve_padded_plain
+    C, d, nx = 4, 6, 4
+    c = jnp.zeros((nx,), jnp.float32)
+    Gp = jnp.zeros((C, d, nx), jnp.float32)
+    hp = jnp.ones((C, d), jnp.float32)
+    e = jnp.zeros((C, d), jnp.float32).at[:, 0].set(1.0)
+    jaxpr = jax.make_jaxpr(
+        lambda *a: _solve_padded_plain(*a, 3, 1e-10))(
+            c, Gp, hp, jnp.zeros(nx, jnp.float32), e, e)
+    s = str(jaxpr)
+    assert "HIGHEST" in s
+    # no dot_general left at default precision anywhere in the solve
+    import re
+    defaults = re.findall(r"dot_general\[[^\]]*precision=None", s)
+    assert not defaults, defaults[:3]
