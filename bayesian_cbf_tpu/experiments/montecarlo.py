@@ -93,10 +93,10 @@ def trigger_sweep_for_rollout(sim, outs, rollout_idx: int = 0,
           if A is None else A)
     B_ = (jnp.tile(jnp.eye(mh, dtype=dt)[None], (T, 1, 1))
           if B is None else B)
-    # max CBF gradient magnitude over the visited states
-    gmax = jnp.max(jnp.stack([
-        jnp.max(jnp.abs(jax.vmap(cbf.grad_cbf)(X)))
-        for cbf in sim.cbfs]))
+    # per-step Lh over the local grid, the reference's definition
+    # (trigger_interval.py:161; signed max, not abs)
+    from ..observability.trigger import per_step_cbf_grad_max
+    gmax = per_step_cbf_grad_max(X, sim.cbfs)
     return trigger_intervals(X, Xdot, U, sf, ls, A_, B_, gmax,
                              jax.random.PRNGKey(seed))
 

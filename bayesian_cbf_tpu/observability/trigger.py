@@ -52,14 +52,23 @@ def lipschitz_bound_f(x, sf, ls, A_diag, uBu, key,
                       grid_pts=10, deltaL=1e-4):
     """High-probability Lipschitz bound of the GP dynamics around x
     (Eq. 11; trigger_interval.py:137-155) plus the numerical sample
-    estimate (:66-81).  Returns (Lfh, Lfh_num)."""
+    estimate (:66-81).  Returns (Lfh, Lfh_num).
+
+    Parity note on `r`: the reference's `pdist` (trigger_interval.py:
+    47-48) is np.linalg.norm of the FULL (N, N, E) pairwise-difference
+    tensor — the Frobenius norm over all pairs, ~N x the mean pair
+    distance (~103 for its 729-point grid), NOT the grid diameter
+    (~0.29).  sqrt(r * A_ii * Lkd_j) feeds Eq. 11, so this choice moves
+    Lfh by ~20x at low-amplitude steps; we reproduce it exactly
+    (round-3 same-inputs study: with the diameter definition our Lfh
+    median on the reference's own logged channels was 0.38 vs its 8.55;
+    maxima agreed because maxk dominates there)."""
     E = x.shape[-1]
     axes = [jnp.linspace(-w, w, grid_pts, dtype=x.dtype)
             for w in grid_half_width]
     grid = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), -1).reshape(-1, E)
     Xtest = grid + x[None, :]
-    r = jnp.sqrt(jnp.max(jnp.sum(
-        (Xtest[:, None] - Xtest[None, :]) ** 2, -1)))
+    r = jnp.sqrt(jnp.sum((Xtest[:, None] - Xtest[None, :]) ** 2))
 
     def per_dir(ej):
         d2 = _d2k_dxi_dxpi(Xtest, Xtest, ej, sf, ls)
@@ -88,24 +97,48 @@ def lipschitz_bound_f(x, sf, ls, A_diag, uBu, key,
     return Lfh, Lfh_num
 
 
+def per_step_cbf_grad_max(X_traj, cbfs,
+                          grid_half_width=(0.1, 0.1, math.pi / 100),
+                          grid_pts=6):
+    """The reference's per-step Lh: the (SIGNED) max entry of grad_cbf
+    over the LOCAL test grid around x_t, maximized over barriers
+    (trigger_interval.py:161 `max(torch.max(h.grad_cbf(Xtest)))`)."""
+    E = X_traj.shape[-1]
+    axes = [jnp.linspace(-w, w, grid_pts, dtype=X_traj.dtype)
+            for w in grid_half_width]
+    grid = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), -1).reshape(-1, E)
+
+    def one(x):
+        Xtest = grid + x[None, :]
+        return jnp.max(jnp.stack([
+            jnp.max(jax.vmap(cbf.grad_cbf)(Xtest)) for cbf in cbfs]))
+
+    return jax.vmap(one)(X_traj)
+
+
 def trigger_intervals(X_traj, Xdot_traj, U_traj, sf_traj, ls_traj,
                       A_traj, B_traj, cbf_grads_max, key,
                       zeta=1e-2, L_alpha=1.0, deltaL=1e-4,
                       grid_pts=6):
     """Per-step self-triggered intervals tau for a whole trajectory
-    (trigger_interval.py:120-170), fully vmapped."""
+    (trigger_interval.py:120-170), fully vmapped.
+
+    `cbf_grads_max` (Lh): a scalar, or a (T,) per-step array — the
+    reference recomputes it per step over the local grid
+    (`per_step_cbf_grad_max`)."""
     T = X_traj.shape[0]
     keys = jax.random.split(key, T)
     ones = jnp.ones((U_traj.shape[0], 1), U_traj.dtype)
     UH = jnp.concatenate([ones, U_traj], 1)
+    Lh_traj = jnp.broadcast_to(jnp.atleast_1d(
+        jnp.asarray(cbf_grads_max, X_traj.dtype)), (T,))
 
-    def per_step(x, xdot, uh, sf, ls, A, B, k):
+    def per_step(x, xdot, uh, sf, ls, A, B, Lh, k):
         uBu = uh @ B @ uh
         Lfh, Lfh_num = lipschitz_bound_f(
             x, sf, ls, jnp.diagonal(A), uBu, k,
             grid_pts=grid_pts, deltaL=deltaL)
         xvel = jnp.linalg.norm(xdot)
-        Lh = cbf_grads_max
 
         def tau_of(L):
             return (1.0 / L) * jnp.log1p(
@@ -114,4 +147,4 @@ def trigger_intervals(X_traj, Xdot_traj, U_traj, sf_traj, ls_traj,
         return tau_of(Lfh), tau_of(Lfh_num), Lfh, Lfh_num, xvel
 
     return jax.vmap(per_step)(X_traj, Xdot_traj, UH, sf_traj, ls_traj,
-                              A_traj, B_traj, keys)
+                              A_traj, B_traj, Lh_traj, keys)

@@ -111,16 +111,16 @@ def main():
     # the events run used; trigger_interval.py:95-100)
     sim = make_ackermann_tracking_sim(numSteps=8, dt=0.01, max_train=8,
                                       training_iter=2)
-    gmax = jnp.max(jnp.stack([
-        jnp.max(jnp.abs(jax.vmap(cbf.grad_cbf)(jnp.asarray(X))))
-        for cbf in sim.cbfs]))
-
+    from bayesian_cbf_tpu.observability.trigger import per_step_cbf_grad_max
     f32 = jnp.float32
+    # reference grid: Nte=1e3 -> Ndte = floor(1000^(1/3)) = 9 per axis
+    gmax = per_step_cbf_grad_max(jnp.asarray(X, f32), sim.cbfs,
+                                 grid_pts=9)
     tau, tau_num, Lfh, Lfh_num, xvel = trigger_intervals(
         jnp.asarray(X, f32), jnp.asarray(Xdot, f32), jnp.asarray(U, f32),
         jnp.asarray(sf, f32), jnp.asarray(ls, f32), jnp.asarray(A, f32),
-        jnp.asarray(B, f32), gmax.astype(f32),
-        jax.random.PRNGKey(0), grid_pts=6)
+        jnp.asarray(B, f32), gmax,
+        jax.random.PRNGKey(0), grid_pts=9)
     ones = np.concatenate([np.ones((U.shape[0], 1)), U], 1)
     uBu_ref = np.einsum("ti,tij,tj->t", ones, B, ones)
     ref_same_inputs = stats("ours_on_reference_channels", tau, Lfh,
@@ -138,11 +138,28 @@ def main():
                  xvel_ours, uBu_ours_full)
 
     # ---- 3. conditioned comparison -------------------------------------
+    # the Eq.-11 bound is driven by the per-step learned amplitude
+    # maxk = max_i A_ii * uBu * max_j sf^2/ls_j^2 (and by |xdot| in the
+    # tau denominator); condition our steps on the reference run's
+    # observed ranges of BOTH
+    def step_amplitude(A_t, uBu_t, sf_t, ls_t):
+        return (np.max(np.diagonal(A_t, axis1=-2, axis2=-1), -1)
+                * uBu_t * np.max(sf_t[..., None] ** 2
+                                 / ls_t ** 2, -1))
+
+    amp_ref = step_amplitude(A, uBu_ref, sf, ls)
+    knl_s = outs.knl
+    sf_ours = np.sqrt(np.asarray(knl_s.outputscale))[::10]
+    ls_ours = np.asarray(knl_s.lengthscale)[::10]
+    A_ours = np.asarray(knl_s.A)[::10]
+    amp_ours = step_amplitude(A_ours, uBu_ours_full, sf_ours, ls_ours)
+
     lo_v, hi_v = np.min(np.asarray(xvel)), np.max(np.asarray(xvel))
     lo_b, hi_b = uBu_ref.min(), uBu_ref.max()
     m = ((xvel_ours >= lo_v) & (xvel_ours <= hi_v)
          & (uBu_ours_full >= lo_b) & (uBu_ours_full <= hi_b)
          & (xvel_ours > 1e-8))
+    m_amp = m & (amp_ours >= amp_ref.min()) & (amp_ours <= amp_ref.max())
     cond = {
         "name": "ours_conditioned_to_reference_regime",
         "n": int(m.sum()),
@@ -150,6 +167,17 @@ def main():
         "Lfh_median": (float(np.median(st["Lfh"][m])) if m.any() else None),
         "xvel_window": [float(lo_v), float(hi_v)],
         "uBu_window": [float(lo_b), float(hi_b)],
+        "amp_windows": {"reference": [float(amp_ref.min()),
+                                      float(np.median(amp_ref)),
+                                      float(amp_ref.max())],
+                        "ours": [float(amp_ours.min()),
+                                 float(np.median(amp_ours)),
+                                 float(amp_ours.max())]},
+        "n_amp_matched": int(m_amp.sum()),
+        "tau_median_amp_matched": (float(np.median(st["tau"][m_amp]))
+                                   if m_amp.any() else None),
+        "Lfh_median_amp_matched": (float(np.median(st["Lfh"][m_amp]))
+                                   if m_amp.any() else None),
     }
 
     rec = {
