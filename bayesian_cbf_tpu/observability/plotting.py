@@ -80,3 +80,79 @@ def plot_speed_test(results, savefile: Optional[str] = None):
     if savefile:
         fig.savefig(savefile, bbox_inches="tight", dpi=120)
     return fig
+
+
+def plot_learned_dynamics_contours(regressors=("matrix", "vector"),
+                                   max_train=120, training_iter=50,
+                                   grid=25, seed=0,
+                                   savefile: Optional[str] = None):
+    """Learned-vs-true pendulum dynamics contour grid — the reference's
+    learn-dynamics comparison figure (bayes_cbf/pendulum.py:1108-1240):
+    rows = [ground truth, MVGP ("matrix"), CoGP ("vector")], columns =
+    [f(x)_1, f(x)_2, g(x)_{1,1}, g(x)_{2,1}] contoured over the
+    (theta, omega) plane, training points overlaid, contour levels
+    shared column-wise with the ground-truth row."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ..experiments.pendulum import _REGRESSORS, sample_pendulum_data
+    from ..models.dynamics import PendulumDynamics
+
+    X, U, Xdot = sample_pendulum_data(numSteps=1024, seed=seed)
+    rng = np.random.default_rng(seed)
+    tr = rng.permutation(X.shape[0])[:max_train]
+    Xn = np.asarray(X)
+    th = np.linspace(Xn[:, 0].min(), Xn[:, 0].max(), grid)
+    om = np.linspace(Xn[:, 1].min(), Xn[:, 1].max(), grid)
+    TH, OM = np.meshgrid(th, om)
+    Xtest = jnp.asarray(np.stack([TH, OM], -1).reshape(-1, 2))
+
+    pend = PendulumDynamics()
+    # (b, 1+m, n): column blocks [f; g] of F^T
+    Ftrue = np.asarray(jax.vmap(lambda x: pend.F_func(x).T)(Xtest))
+
+    rows = [("Ground Truth", Ftrue)]
+    for name in regressors:
+        gp = _REGRESSORS[name](2, 1)
+        params = gp.init_params(jax.random.PRNGKey(seed))
+        data = gp.make_data(X[tr], U[tr], Xdot[tr])
+        params = jax.jit(lambda p, d: gp.fit(
+            p, d, training_iter=training_iter))(params, data)
+        cache = gp.refresh_cache(params, data)
+        mean, _ = gp.predict_fullmat(params, data, cache, Xtest)
+        rows.append((name, np.asarray(mean).reshape(Xtest.shape[0], 2, 2)))
+
+    cols = [("$f(x)_1$", 0, 0), ("$f(x)_2$", 0, 1),
+            ("$g(x)_{1,1}$", 1, 0), ("$g(x)_{2,1}$", 1, 1)]
+    fig, axs = plt.subplots(len(rows), 4,
+                            figsize=(12, 2.6 * len(rows)), squeeze=False)
+    # column-shared contour levels over the COMBINED range of all rows:
+    # the pendulum's true g columns are constant, so truth-only levels
+    # degenerate to machine-noise scales
+    levels = []
+    for (title, mi, ni) in cols:
+        vals = np.concatenate([F[:, mi, ni] for _, F in rows])
+        lo, hi = float(vals.min()), float(vals.max())
+        if hi - lo < 1e-9:
+            lo, hi = lo - 0.5, hi + 0.5
+        levels.append(np.linspace(lo, hi, 13))
+    for r, (label, F) in enumerate(rows):
+        for c, (title, mi, ni) in enumerate(cols):
+            Z = F[:, mi, ni].reshape(grid, grid)
+            cs = axs[r][c].contourf(TH, OM, Z, levels=levels[c],
+                                    cmap="viridis", extend="both")
+            if r == 0:
+                axs[r][c].set_title(title)
+            else:
+                axs[r][c].plot(Xn[tr, 0], Xn[tr, 1], "r+", ms=3,
+                               linestyle="")
+            fig.colorbar(cs, ax=axs[r][c], shrink=0.85)
+            axs[r][c].set_xlabel(r"$\theta$")
+        axs[r][0].set_ylabel("%s\n$\\omega$" % label)
+    fig.tight_layout()
+    if savefile:
+        fig.savefig(savefile, bbox_inches="tight", dpi=120)
+    return fig

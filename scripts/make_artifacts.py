@@ -85,9 +85,19 @@ def speed_figure():
     print("speed_test.png", flush=True)
 
 
+def learned_dynamics_contours():
+    from bayesian_cbf_tpu.observability.plotting import (
+        plot_learned_dynamics_contours)
+    plot_learned_dynamics_contours(
+        max_train=120, training_iter=50, grid=25,
+        savefile=os.path.join(OUT, "learned_dynamics_contours.png"))
+    print("learned_dynamics_contours.png", flush=True)
+
+
 if __name__ == "__main__":
     sim, out = readme_trajectories()
     animation(sim, out)
     covariances()
     speed_figure()
+    learned_dynamics_contours()
     print("ALL_ARTIFACTS_DONE", flush=True)

@@ -131,3 +131,17 @@ def test_covariance_ellipse_analysis(tmp_path):
     paths = unicycle_covariances_vis(results, savedir=str(tmp_path))
     for p in paths:
         assert osp.getsize(p) > 1000
+
+
+def test_learned_dynamics_contours_figure(tmp_path):
+    """The reference's learn-dynamics contour grid (pendulum.py:1108-1240):
+    rows ground-truth/matrix/vector, columns f1/f2/g11/g21, shared
+    column levels, training points overlaid."""
+    from bayesian_cbf_tpu.observability.plotting import (
+        plot_learned_dynamics_contours)
+    out = str(tmp_path / "contours.png")
+    fig = plot_learned_dynamics_contours(max_train=32, training_iter=5,
+                                         grid=8, savefile=out)
+    import os
+    assert os.path.exists(out)
+    assert len(fig.axes) >= 12       # 3 rows x 4 cols (+ colorbars)
