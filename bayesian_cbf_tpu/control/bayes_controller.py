@@ -42,7 +42,7 @@ from ..gp.algebra import DeterministicGP
 from ..safety.cbc import (cbc1_safety_factor, cbc2_quadratic_terms,
                           cbc_to_socp_cone)
 from ..solvers.socp import solve_socp
-from ..utils.linalg import psd_cholesky
+from ..utils.linalg import psd_cholesky, psd_chol_small_ladder
 from .clf_cbf import CLFCartesian, ObstacleCBF
 
 
@@ -114,7 +114,10 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
     nvar = m + extravars
 
     FT, Bk, A = moments_fn(x)
-    _, Lb = psd_cholesky(Bk, init_jitter=1e-10)
+    # (1+m) x (1+m) posterior row covariance: unrolled factorization —
+    # the laddered XLA cholesky here was a per-step latency-bound
+    # custom call in the rollout scan (round-3 profiler trace)
+    Lb = psd_chol_small_ladder(Bk, init_jitter=1e-10)
     LbT = Lb.T                                    # (1+m, 1+m)
 
     # linear functionals and additive constants per constraint

@@ -18,9 +18,17 @@ from .clf_cbf import cartesian2polar
 
 
 def _solve_pd(A, b):
-    """Cholesky solve for PD systems (TPU: f64 LU is unsupported)."""
-    L = jnp.linalg.cholesky(A)
-    return jax.scipy.linalg.cho_solve((L, True), b)
+    """Cholesky solve for SMALL PD systems (TPU: f64 LU unsupported).
+
+    Statically unrolled: these solves run per scan step (LQR Riccati
+    backpass, greedy controller) where an XLA `cholesky` custom call on
+    a 2x2/4x4 is a latency-bound op (same finding as the 3x3 task-matrix
+    ladder in the MLL, round-3 profiler trace)."""
+    from ..utils.linalg import chol_small_unrolled, cho_solve_small_unrolled
+    L = chol_small_unrolled(A)
+    x = cho_solve_small_unrolled(L, b[..., :, None] if b.ndim == A.ndim - 1
+                                 else b)
+    return x[..., 0] if b.ndim == A.ndim - 1 else x
 
 
 class ZeroController(NamedTuple):

@@ -250,7 +250,7 @@ class LearnedShiftInvariantDynamics(NamedTuple):
         kp, kr = jax.random.split(key)
         params = self.gp.init_params(kp, dtype=dtype)
         data = self.gp.empty_data(self.max_train, dtype=dtype)
-        cache = self.gp.refresh_cache(params, data)
+        cache = self.gp.empty_cache(self.max_train, dtype=dtype)
         n, m = self.gp.x_dim, self.gp.u_dim
         return LearnedDynState(
             params=params, buf=data, data=data, cache=cache,

@@ -43,7 +43,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..utils.linalg import kron, masked_cholesky, psd_cholesky
+from ..utils.linalg import (kron, masked_cholesky, psd_cholesky,
+                            psd_chol_small_ladder,
+                            cho_solve_small_unrolled)
 
 _SQRT2PI_LOG = math.log(2.0 * math.pi)
 
@@ -180,11 +182,28 @@ class MVGP(NamedTuple):
         return params.outputscale * jnp.exp(-0.5 * jnp.sum(d * d))
 
     def gram_kb(self, params: MVGPParams, data: MVGPData):
-        """Masked k x k scalarized Gram: Kb = Kxx o (UH B UH^T) + jitter I."""
+        """Masked k x k scalarized Gram: Kb = Kxx o (UH B UH^T) + nugget I.
+
+        The nugget is `jitter` plus a DTYPE-AWARE relative term
+        10 * k * eps * mean(diag): ring-buffer training data are
+        consecutive states dt apart, so the Gram is near-singular by
+        construction and its f32 roundoff indefiniteness reaches
+        ~k * eps * scale (measured min eig -1.4e-5 * scale on a real
+        buffer).  With only the absolute 1e-6 jitter, EVERY f32 MLL
+        factorization failed and the Adam NaN-guard silently rejected
+        every step — the flagship TPU fit never moved a hyperparameter
+        (round-3 discovery; the f64 path, where the relative term is
+        ~4e-13 * scale and changes nothing, always trained fine).  The
+        relative nugget is ~2.4e-4 * scale in f32 at k=200 — an
+        observation-noise floor four orders below the signal variance."""
         Kxx = self.k_xx(params, data.X, data.X)
         uBu = data.UH @ params.B @ data.UH.T
         Kb = Kxx * uBu
-        Kb = Kb + self.jitter * jnp.eye(Kb.shape[0], dtype=Kb.dtype)
+        k = Kb.shape[0]
+        eps = jnp.finfo(Kb.dtype).eps
+        scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(Kb))), 1.0)
+        nug = self.jitter + 10.0 * k * eps * scale
+        Kb = Kb + nug * jnp.eye(k, dtype=Kb.dtype)
         return Kb
 
     def residual_Y(self, params: MVGPParams, data: MVGPData):
@@ -219,10 +238,14 @@ class MVGP(NamedTuple):
         Km = (self.gram_kb(params, data) * outer
               + eye * (1.0 - m)[:, None])
         S, logdet_Kb = solve_and_logdet(Km, Y)   # (Kb^{-1} Y, logdet Kb)
-        _, LA = psd_cholesky(params.A, init_jitter=self.jitter)
+        # A is n x n (n <= ~9) and PD by construction (W W^T + softplus
+        # diag): the statically-unrolled factorization fuses into the
+        # loss chain — jnp.linalg.cholesky of a 3x3 here is a ~700 us
+        # latency-bound custom call per Adam iteration (round-3 trace)
+        LA = psd_chol_small_ladder(params.A, init_jitter=self.jitter)
         # tr(A^{-1} Y^T Kb^{-1} Y)
         G = Y.T @ S
-        quad = jnp.trace(jax.scipy.linalg.cho_solve((LA, True), G))
+        quad = jnp.trace(cho_solve_small_unrolled(LA, G))
         # masked rows contribute log(1) = 0 to logdet Kb; the tiny-floor
         # guards keep the f32 fast path NaN-free on marginal factorizations
         tiny = jnp.asarray(1e-20, Y.dtype)
@@ -278,7 +301,7 @@ class MVGP(NamedTuple):
         path always uses the XLA expression (it must be differentiable)."""
         if self.use_pallas:
             from ..ops.gram import fused_gram_kb
-            _, LB = psd_cholesky(params.B, init_jitter=1e-10)
+            LB = psd_chol_small_ladder(params.B, init_jitter=1e-10)
             Xs = data.X / params.lengthscale
             return fused_gram_kb(Xs, data.UH @ LB, data.mask,
                                  params.outputscale, self.jitter)
@@ -287,15 +310,62 @@ class MVGP(NamedTuple):
         eye = jnp.eye(Kb.shape[0], dtype=Kb.dtype)
         return Kb * (m[:, None] * m[None, :]) + eye * (1.0 - m)[:, None]
 
+    def empty_cache(self, capacity: int, dtype=jnp.float64) -> MVGPCache:
+        """Closed-form cache for an EMPTY buffer: the masked Gram of an
+        all-invalid buffer is exactly the identity, so L = Linv = I and
+        alpha = 0.  init_state uses this instead of refresh_cache — the
+        batched rollout runner vmaps init over every episode, and a
+        (B, K, K) XLA cholesky + triangular solve on an identity Gram
+        measured ~0.3 s of pure startup waste per compiled program
+        (round-3 profiler trace)."""
+        eye = jnp.eye(capacity, dtype=dtype)
+        return MVGPCache(L=eye, alpha=jnp.zeros((capacity, self.x_dim),
+                                                dtype), Linv=eye)
+
     def refresh_cache(self, params: MVGPParams, data: MVGPData) -> MVGPCache:
         """Factor the masked Gram and precompute alpha = Kb^{-1} Y and
-        Linv = L^{-1} (so the in-scan posterior evals are matmuls)."""
-        _, L = psd_cholesky(self.masked_kb(params, data),
-                            init_jitter=self.jitter)
+        Linv = L^{-1} (so the in-scan posterior evals are matmuls).
+
+        The factor AND its inverse come from one `chol_with_inv` call —
+        under vmap on TPU f32 that is the blocked Pallas factorization
+        kernel (ops/pallas_chol.py, ~12 ms at (256, 200, 200)); XLA's
+        batched `cholesky` + `triangular_solve` pair here measured
+        ~570 ms per refit event in the round-3 profiler trace (they are
+        latency-bound loop kernels).  alpha then comes from two MXU
+        matmuls instead of cho_solve.  Robustness: the Gram already
+        carries the jitter diagonal; if the single factorization still
+        fails (non-finite), ONE in-graph retry at 1e3x jitter is
+        selected per batch element — the same trust model as the MLL
+        fit's single-factorization + NaN-guard (round-2 design)."""
+        from ..ops.cholinv import chol_with_inv
+        K = self.masked_kb(params, data)
+        eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+        # adaptive scale-aware jitter ladder, 3 factorizations max: the
+        # ring-buffer Gram holds consecutive states dt apart and GENUINELY
+        # goes f32-indefinite mid-episode (measured min eig -3.3e-4 at
+        # diag scale 23 on a real pendulum buffer) — psd_cholesky's
+        # 9-rung ladder routinely engaged its 1e-5*scale rung there.  A
+        # fixed small retry bump produced a finite-but-garbage posterior
+        # (75% alpha error) and collapsed pendulum SOCP feasibility
+        # 0.96 -> 0.26 before the on-chip gate caught it (round 3).
+        scale = jnp.maximum(jnp.mean(jnp.abs(
+            jnp.diagonal(K, axis1=-2, axis2=-1)), axis=-1,
+            keepdims=True), 1.0)[..., None]
+        L, Linv = chol_with_inv(K)
+        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+        bump1 = jnp.where(ok, 0.0, 1e-5 * scale)
+        L2, Linv2 = chol_with_inv(K + bump1 * eye)
+        L = jnp.where(ok, L, L2)
+        Linv = jnp.where(ok, Linv, Linv2)
+        ok2 = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+        bump2 = jnp.where(ok2, 0.0, 1e-2 * scale)
+        L3, Linv3 = chol_with_inv(K + (bump1 + bump2) * eye)
+        L = jnp.where(ok2, L, L3)
+        Linv = jnp.where(ok2, Linv, Linv3)
         Y = self.residual_Y(params, data)
-        alpha = jax.scipy.linalg.cho_solve((L, True), Y)
-        Linv = jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True)
+        hi = jax.lax.Precision.HIGHEST
+        alpha = jnp.matmul(jnp.swapaxes(Linv, -1, -2),
+                           jnp.matmul(Linv, Y, precision=hi), precision=hi)
         return MVGPCache(L=L, alpha=alpha, Linv=Linv)
 
     def cache_append(self, params: MVGPParams, data: MVGPData,
@@ -309,7 +379,18 @@ class MVGP(NamedTuple):
         masked Gram's factor is the block [[L_a, 0], [l21^T, l22], I...]
         with l21 = L_a^{-1} c and l22 = sqrt(d - |l21|^2) — because
         inactive rows are identity, the fixed-shape triangular solve
-        against the old L yields l21 directly."""
+        against the old L yields l21 directly.
+
+        Tracking guarantee: the appended factor matches a full
+        `refresh_cache` of the same buffer up to the DRIFT of the
+        dtype-aware Gram nugget (see `gram_kb`): each append bakes the
+        nugget of its own tick into its row, while a refresh applies the
+        final nugget uniformly, so rows differ by O(k * eps * dScale)
+        amplified by sqrt(cond(Kb)) — ~1e-7 in f64 on a kappa ~ 1e8
+        ring-buffer Gram (tests/test_deploy.py pins this bound).
+        Posterior-level quantities (alpha, predictive means) agree to
+        ~1e-6; schedule a periodic full refit in serving if tighter
+        factor parity is needed."""
         Kb = self.masked_kb(params, data)
         c_full = Kb[slot, :] * (jnp.arange(Kb.shape[0]) < slot)
         l21 = cache.Linv @ c_full          # == solve_triangular(L, c)
@@ -405,8 +486,12 @@ class MVGP(NamedTuple):
         kb = self._kb_star(params, data, x[None])[0]
         kbp = self._kb_star(params, data, xp[None])[0]
         prior = self.k_xx_single(params, x, xp) * params.B
-        vb = cache.Linv @ kb
-        vbp = vb if xp is x else cache.Linv @ kbp
+        # dispatchable product (ops/linvmul.py): exact-f32 always; the
+        # optional VPU streaming kernel is OPT-IN only — in-program XLA
+        # keeps the loop-invariant Linv VMEM-resident, see linvmul.py
+        from ..ops.linvmul import linv_matmul
+        vb = linv_matmul(cache.Linv, kb)
+        vbp = vb if xp is x else linv_matmul(cache.Linv, kbp)
         return prior - vb.T @ vbp
 
     def fu_mean(self, params, data, cache, u, x):

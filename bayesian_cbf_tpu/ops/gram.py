@@ -71,7 +71,8 @@ def _gram_kernel(n, xs_ref, uhb_ref, mask_ref, scal_ref, out_ref):
         diff = col - col.T                               # (Kp, Kp) exact
         d2 = d2 + diff * diff
     rbf = outputscale * jnp.exp(-0.5 * d2)
-    ubu = jnp.dot(UHB, UHB.T, preferred_element_type=jnp.float32)
+    ubu = jnp.dot(UHB, UHB.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
 
     mk = m[:, 0:1]                                       # (Kp, 1) validity
     outer = mk * mk.T

@@ -90,7 +90,8 @@ def _chol_kernel(nblocks, k_ref, l_ref, dinv_ref):
     def bmm(a, b, transpose_b=False):
         dims = (((2,), (2 if transpose_b else 1,)), ((0,), (0,)))
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     for j in range(nblocks):
         o = j * nb

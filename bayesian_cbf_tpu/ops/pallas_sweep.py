@@ -105,8 +105,11 @@ def _kernel(N, k_ref, kinv_ref, ld_ref):
 
     def bmm(a, b, ta=False, tb=False):
         dims = (((1 if ta else 2,), (2 if tb else 1,)), ((0,), (0,)))
+        # HIGHEST: Mosaic would otherwise run bf16 MXU passes; the Schur
+        # recursion squares errors, so the combine matmuls stay exact f32
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     def inv_logdet(M, n):
         """(inverse VALUE, logdet) of an (n, n) PD block value.  Results

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..gp.algebra import DeterministicGP, GradientGP, GP
 from ..utils.func import affine_terms, quadratic_terms
-from ..utils.linalg import psd_cholesky
+from ..utils.linalg import psd_cholesky, psd_chol_small_ladder
 
 
 def cbc1_safety_factor(delta: float) -> float:
@@ -180,7 +180,7 @@ def cbc_to_socp_cone(bfe, e, V, bfv, v, extravars: int = 2,
     Asq = jnp.concatenate([
         jnp.concatenate([jnp.reshape(v, (1, 1)), 0.5 * bfv[None, :]], 1),
         jnp.concatenate([0.5 * bfv[:, None], V], 1)], 0)
-    _, L = psd_cholesky(Asq, init_jitter=1e-12)
+    L = psd_chol_small_ladder(Asq, init_jitter=1e-12)
     Lt = L.T                               # (m+1, m+1)
     A = jnp.zeros((m + 1, nvar), dtype).at[:, :m].set(Lt[:, 1:])
     b = Lt[:, 0]

@@ -82,11 +82,23 @@ def main():
     }
     verdicts.update({
         # the reference damage indicator (pendulum.py:206) must be clean
-        # for BOTH the learned online episode and the ground-truth QP
+        # for BOTH the learned online episode and the ground-truth QP.
+        # Feasible-fraction is NOT gated tightly: it is chaotic across
+        # benign numerics changes (measured 0.22-0.96 across precision
+        # variants whose damage/wedge outcomes were all clean) — a
+        # trajectory that hovers just OUTSIDE the barrier has many
+        # hard-to-certify steps that fall back to u_ref safely, while
+        # the round-2 stack actually ENTERED the wedge 15% of steps.
+        # The load-bearing verdicts: no damage, (near-)zero wedge
+        # occupancy, parked between the wedge edge and the start angle,
+        # and the solver not collapsed outright.
         "pendulum_online_no_damage":
             res["pendulum_online"]["damage"] == 0.0
             and res["pendulum_online"]["finite"]
-            and res["pendulum_online"]["feasible"] > 0.9,
+            and res["pendulum_online"]["wedge_frac"] <= 0.02
+            and (math.pi / 4 + math.pi / 8 - 0.02
+                 < res["pendulum_online"]["theta_end"] < 1.9)
+            and res["pendulum_online"]["feasible"] > 0.3,
         # the ground-truth QP must hold the barrier exactly: parks at the
         # wedge edge (theta ~1.18-1.45), never enters, solver clean
         "pendulum_gt_safe":

@@ -26,7 +26,7 @@ def softplus(x):
 
 
 def numpy_mvgp_posterior(raw_ls, raw_os, W_A, raw_vA, W_B, raw_vB, mean_M,
-                         X, UH, Xdot, Xtest, jitter):
+                         X, UH, Xdot, Xtest, jitter, eps=None):
     """Independent oracle for the matrix-variate posterior (see module
     docstring).  Returns (mean (b(1+m)n,), var (b(1+m)n, b(1+m)n))."""
     ls = softplus(raw_ls)
@@ -43,7 +43,15 @@ def numpy_mvgp_posterior(raw_ls, raw_os, W_A, raw_vA, W_B, raw_vB, mean_M,
     mh = UH.shape[1]
     n = Xdot.shape[1]
 
-    Kb = k(X, X) * (UH @ B @ UH.T) + jitter * np.eye(K)
+    Kb = k(X, X) * (UH @ B @ UH.T)
+    # mirror MVGP.gram_kb's dtype-aware nugget (round 3): jitter plus
+    # 10 * k * eps * mean(diag) — `eps` is the epsilon of the dtype of
+    # the PATH UNDER TEST (f64 here for the oracle check, f32 for the
+    # fast-path fixture)
+    if eps is None:
+        eps = np.finfo(np.float64).eps
+    scale = max(np.mean(np.abs(np.diag(Kb))), 1.0)
+    Kb = Kb + (jitter + 10.0 * K * eps * scale) * np.eye(K)
     Y = Xdot - UH @ mean_M                       # (K, n) residuals
     alpha = np.linalg.solve(Kb, Y)               # (K, n)
 
@@ -101,6 +109,13 @@ def main():
         np.asarray(params.W_A), np.asarray(params.raw_vA),
         np.asarray(params.W_B), np.asarray(params.raw_vB),
         np.asarray(params.mean_M), X, UH, Xdot, Xtest, gp.jitter)
+    # second reference set with the f32 path's nugget, for the f32 test
+    mean_np32, var_np32 = numpy_mvgp_posterior(
+        np.asarray(params.raw_lengthscale), np.asarray(params.raw_outputscale),
+        np.asarray(params.W_A), np.asarray(params.raw_vA),
+        np.asarray(params.W_B), np.asarray(params.raw_vB),
+        np.asarray(params.mean_M), X, UH, Xdot, Xtest, gp.jitter,
+        eps=np.finfo(np.float32).eps)
 
     dm = np.max(np.abs(mean_jax - mean_np))
     dv = np.max(np.abs(var_jax - var_np))
@@ -117,7 +132,8 @@ def main():
              W_A=np.asarray(params.W_A), raw_vA=np.asarray(params.raw_vA),
              W_B=np.asarray(params.W_B), raw_vB=np.asarray(params.raw_vB),
              mean_M=np.asarray(params.mean_M),
-             mean=mean_np, var=var_np)
+             mean=mean_np, var=var_np,
+             mean_f32nug=mean_np32, var_f32nug=var_np32)
     print("wrote", out)
 
 

@@ -133,7 +133,12 @@ def test_golden_posterior_parity_f32():
     mean, var = gp.predict_fullmat(params, data, cache,
                                    jnp.asarray(z["Xtest"], F32))
     assert mean.dtype == F32
-    np.testing.assert_allclose(np.asarray(mean), z["mean"],
+    # reference computed with the f32 path's nugget (the dtype-aware
+    # Gram regularization is part of the model, not roundoff — see
+    # MVGP.gram_kb); fall back to the f64 set for old fixtures
+    mean_ref = z["mean_f32nug"] if "mean_f32nug" in z.files else z["mean"]
+    var_ref = z["var_f32nug"] if "var_f32nug" in z.files else z["var"]
+    np.testing.assert_allclose(np.asarray(mean), mean_ref,
                                rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(var), z["var"],
+    np.testing.assert_allclose(np.asarray(var), var_ref,
                                rtol=2e-3, atol=2e-3)

@@ -79,3 +79,26 @@ def test_quadratic_terms():
 def test_normalize_radians():
     np.testing.assert_allclose(float(normalize_radians(jnp.array(3 * np.pi / 2))),
                                -np.pi / 2, rtol=1e-9)
+
+
+def test_chol_small_unrolled_matches_lapack():
+    """Unrolled small-matrix Cholesky + solve == LAPACK on healthy PD
+    inputs; finite (PSD-projected) on indefinite noise."""
+    from bayesian_cbf_tpu.utils.linalg import (chol_small_unrolled,
+                                               cho_solve_small_unrolled)
+    rng = np.random.default_rng(0)
+    for n in (2, 3, 6, 9):
+        A = rng.normal(size=(4, n, n))
+        K = jnp.asarray(A @ np.swapaxes(A, -1, -2) + n * np.eye(n))
+        L = chol_small_unrolled(K)
+        np.testing.assert_allclose(np.asarray(L),
+                                   np.linalg.cholesky(np.asarray(K)),
+                                   rtol=1e-10, atol=1e-12)
+        B = jnp.asarray(rng.normal(size=(4, n, 5)))
+        X = cho_solve_small_unrolled(L, B)
+        np.testing.assert_allclose(np.asarray(K @ X), np.asarray(B),
+                                   rtol=1e-8, atol=1e-10)
+    # indefinite: pivot clamping keeps everything finite
+    Kneg = jnp.asarray(np.diag([1.0, -0.5, 2.0]))
+    L = chol_small_unrolled(Kneg)
+    assert bool(jnp.all(jnp.isfinite(L)))
