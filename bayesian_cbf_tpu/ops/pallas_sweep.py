@@ -23,9 +23,16 @@ refits.  A triangular factor is never needed, so this kernel computes
     M -> -M^{-1}, and the pivots d_i are the successive conditional
     variances, so logdet = sum_i log d_i.
 
-Batch is padded to the CHUNK grid; N is padded to a power-of-two
-multiple of 32 (>= 64) with an identity diagonal (inverse and logdet of
-blockdiag(K, I) restrict trivially).  f32 only (the TPU fast path).
+Batch is padded to the CHUNK grid; N is padded to the next multiple of
+32 with an identity diagonal (inverse and logdet of blockdiag(K, I)
+restrict trivially).  The identity padding happens INSIDE the kernel on
+the loaded VMEM value: materializing the padded matrix on the XLA side
+was a measured 0.68 ms/Adam-iteration dynamic-update-slice (a 67 MB
+HBM round-trip per fit step at (256, 200->256), round-3 trace), and
+rounding 200 up to a power of two instead of 224 inflated every HBM
+stream and combine matmul by a further (256/224)^2 = 1.3x.  The
+recursion handles any multiple-of-32 size by splitting at the
+half-rounded-to-32 boundary.  f32 only (the TPU fast path).
 """
 from __future__ import annotations
 
@@ -35,7 +42,13 @@ import jax
 import jax.numpy as jnp
 
 BASE = 32         # sweep-operator base block
-CHUNK = 8         # default batch elements per grid cell (chunk=0)
+# default batch elements per grid cell (chunk=0).  Round-3 in-process
+# A/B at (256, 200, 200): chunk 8/16/32 = 4.82/4.41/4.22 ms with the
+# raised vmem budget (the round-2 "anything above 8 OOMs" finding was
+# an artifact of the default 16M scoped budget, fixed by
+# CompilerParams.vmem_limit_bytes below).  32x224x224 f32 in+out
+# double-buffered = 26M, safely inside the 100M limit up to n=256.
+CHUNK = 32
 
 
 def _round_up(x, m):
@@ -43,12 +56,9 @@ def _round_up(x, m):
 
 
 def _padded_size(n):
-    """Smallest 32 * 2^j >= n (so halving always lands on a multiple of
-    32 and the recursion bottoms out exactly at BASE)."""
-    N = BASE
-    while N < n:
-        N *= 2
-    return N
+    """Smallest multiple of BASE >= n.  The recursion splits any block
+    count at floor(half) blocks, so no power-of-two constraint."""
+    return max(_round_up(n, BASE), BASE)
 
 
 def _sweep_block(M, tiny):
@@ -99,7 +109,7 @@ def _sweep_block(M, tiny):
     return -M, ld
 
 
-def _kernel(N, k_ref, kinv_ref, ld_ref):
+def _kernel(N, n, k_ref, kinv_ref, ld_ref):
     f32 = k_ref.dtype
     tiny = jnp.full((1, 1, 1), 1e-12, f32)
 
@@ -118,22 +128,38 @@ def _kernel(N, k_ref, kinv_ref, ld_ref):
         (measured 9x slower), so kinv_ref is written exactly once."""
         if n == BASE:
             return _sweep_block(M, tiny)
-        h = n // 2
+        # split at floor(half) rounded to the BASE grid (handles any
+        # multiple-of-32 size, e.g. 224 -> 96 + 128)
+        h = (n // (2 * BASE)) * BASE
         A = M[:, :h, :h]
         B = M[:, :h, h:]
         C = M[:, h:, h:]
         Ainv, ld1 = inv_logdet(A, h)
-        W = bmm(Ainv, B)                                  # (CB, h, h)
+        W = bmm(Ainv, B)                                  # (CB, h, n-h)
         S = C - bmm(B, W, ta=True)
-        Sinv, ld2 = inv_logdet(S, h)
+        Sinv, ld2 = inv_logdet(S, n - h)
         WS = bmm(W, Sinv)                                 # (CB, h, h)
         TL = Ainv + bmm(WS, W, tb=True)
         top = jnp.concatenate([TL, -WS], axis=2)
         bot = jnp.concatenate([-jnp.swapaxes(WS, 1, 2), Sinv], axis=2)
         return jnp.concatenate([top, bot], axis=1), ld1 + ld2
 
-    Kinv, ld = inv_logdet(k_ref[:], N)
-    kinv_ref[:] = Kinv
+    M = k_ref[:]
+    if n < N:
+        # identity-pad INSIDE the kernel (cheap one-time VMEM concats;
+        # the padding rows contribute log det I = 0 and an identity
+        # inverse block, discarded by the sliced write below)
+        CB = M.shape[0]
+        pad = N - n
+        M = jnp.concatenate(
+            [M, jnp.zeros((CB, pad, n), f32)], axis=1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (N, pad), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (N, pad), 1)
+        tail = (ri == ci + n).astype(f32)                # (N, pad) eye tail
+        M = jnp.concatenate(
+            [M, jnp.broadcast_to(tail[None], (CB, N, pad))], axis=2)
+    Kinv, ld = inv_logdet(M, N)
+    kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
 
 
@@ -143,15 +169,14 @@ def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
                         alias: bool = False):
     """(K^{-1}, logdet K) for a batch K (B, n, n) of PD matrices; f32.
 
-    chunk=0 picks the batch chunk per grid cell.  Larger chunks amortize
-    the sweep loop's per-op overhead (chunk=32 measured 6.6 ms vs 7.3 ms
-    at 8, standalone, 256 x 200), but scoped-vmem accounting charges the
-    in AND out blocks double-buffered EVEN with input/output aliasing,
-    so anything above 8 OOMs once the rollout program is co-resident;
-    8 always fits.  alias=True writes the inverse in place over the
-    donated input buffer — safe because every region is read before it
-    is overwritten (see inv_logdet's lazy reads) — but saves nothing
-    under the current accounting, so it stays opt-in."""
+    chunk=0 picks the default batch chunk per grid cell (see CHUNK:
+    larger chunks amortize the sweep loop's per-op overhead; the vmem
+    budget is raised via CompilerParams so 32 compiles fine).  alias=True
+    writes the inverse in place over the donated input buffer — safe
+    because every region is read before it is overwritten (see
+    inv_logdet's lazy reads) — but saves nothing under scoped-vmem
+    accounting (in/out blocks are charged double-buffered even when
+    aliased), so it stays opt-in."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -162,24 +187,30 @@ def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
     Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
 
-    Kp = jnp.zeros((Bp, N, N), f32)
-    Kp = Kp.at[:, jnp.arange(N), jnp.arange(N)].set(1.0)      # identity pad
-    Kp = Kp.at[:B, :n, :n].set(K.astype(f32))
+    Kp = K.astype(f32)
+    if Bp != B:
+        # batch tail: identity matrices (finite garbage-free sweeps)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (Bp - B, n, n))
+        Kp = jnp.concatenate([Kp, eye], axis=0)
 
     grid = (Bp // chunk,)
     Kinv, ld = pl.pallas_call(
-        functools.partial(_kernel, N),
+        functools.partial(_kernel, N, n),
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((Bp, N, N), f32),
+        out_shape=(jax.ShapeDtypeStruct((Bp, n, n), f32),
                    jax.ShapeDtypeStruct((Bp, 1, 128), f32)),
-        in_specs=[pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+        in_specs=[pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+        out_specs=(pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((chunk, 1, 128), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            # scoped-VMEM headroom for chunk > 8 (v5e has 128M VMEM;
+            # the default 16M budget rejects larger batch chunks)
+            vmem_limit_bytes=100 * 1024 * 1024),
         **({"input_output_aliases": {0: 0}} if alias else {}),
         interpret=interpret,
     )(Kp)
-    return (Kinv[:B, :n, :n].astype(K.dtype),
+    return (Kinv[:B].astype(K.dtype),
             ld[:B, 0, 0].astype(K.dtype))
