@@ -33,9 +33,11 @@ from jax import custom_batching
 # None = auto (Pallas on TPU f32 under vmap); True/False force
 USE_PALLAS = None
 
-# n <= 256: at N=512 the (CHUNK, N, N) VMEM blocks exceed the 16M
-# scoped budget and the remote compile rejects the kernel (measured)
-_PALLAS_MAX_N = 256
+# n <= 512: the kernels auto-shrink their batch chunk so the VMEM
+# blocks fit the raised scoped budget (round 3; the old n<=256 cap was
+# the default 16M budget, not hardware).  Beyond 512 the recursion's
+# working values alone approach the budget — XLA handles those.
+_PALLAS_MAX_N = 512
 
 
 def _ref_fwd(K):

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 NB_BLK = 128      # factorization block (= MXU/lane width)
-CHUNK = 8         # batch elements factored together per grid cell
+CHUNK = 8         # max batch elements factored together per grid cell
 
 
 def _round_up(x, m):
@@ -120,25 +120,32 @@ def batched_chol_with_inv(K, interpret: bool = False):
     nb = NB_BLK
     N = max(_round_up(n, nb), nb)
     nblocks = N // nb
-    Bp = max(_round_up(B, CHUNK), CHUNK)
+    # chunk shrinks with N so the in/L/Dinv double-buffered blocks stay
+    # inside the raised scoped-vmem budget (extends coverage to n=512;
+    # the old failure there was the default 16M budget)
+    from .pallas_sweep import _auto_chunk, VMEM_LIMIT
+    chunk = min(CHUNK, _auto_chunk(N, extra_bytes_per_elem=4 * N * nb))
+    Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
 
     Kp = jnp.zeros((Bp, N, N), f32)
     Kp = Kp.at[:, jnp.arange(N), jnp.arange(N)].set(1.0)      # identity pad
     Kp = Kp.at[:B, :n, :n].set(K.astype(f32))
 
-    grid = (Bp // CHUNK,)
+    grid = (Bp // chunk,)
     L, Dinv = pl.pallas_call(
         functools.partial(_chol_kernel, nblocks),
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((Bp, N, N), f32),
                    jax.ShapeDtypeStruct((Bp, N, nb), f32)),
-        in_specs=[pl.BlockSpec((CHUNK, N, N), lambda b: (b, 0, 0),
+        in_specs=[pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((CHUNK, N, N), lambda b: (b, 0, 0),
+        out_specs=(pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((CHUNK, N, nb), lambda b: (b, 0, 0),
+                   pl.BlockSpec((chunk, N, nb), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(Kp)
 

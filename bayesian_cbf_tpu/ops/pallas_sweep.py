@@ -42,13 +42,29 @@ import jax
 import jax.numpy as jnp
 
 BASE = 32         # sweep-operator base block
-# default batch elements per grid cell (chunk=0).  Round-3 in-process
-# A/B at (256, 200, 200): chunk 8/16/32 = 4.82/4.41/4.22 ms with the
-# raised vmem budget (the round-2 "anything above 8 OOMs" finding was
-# an artifact of the default 16M scoped budget, fixed by
-# CompilerParams.vmem_limit_bytes below).  32x224x224 f32 in+out
-# double-buffered = 26M, safely inside the 100M limit up to n=256.
+# max batch elements per grid cell (chunk=0 auto-selects).  Round-3
+# in-process A/B at (256, 200, 200): chunk 8/16/32 = 4.82/4.41/4.22 ms
+# with the raised vmem budget (the round-2 "anything above 8 OOMs"
+# finding was an artifact of the default 16M scoped budget, fixed by
+# CompilerParams.vmem_limit_bytes below).
 CHUNK = 32
+# scoped-VMEM ceiling passed to Mosaic (v5e has 128M); block selection
+# below keeps in+out double-buffered blocks under this with margin
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _auto_chunk(N, extra_bytes_per_elem=0):
+    """Largest power-of-two chunk <= CHUNK whose scoped-VMEM footprint
+    fits the budget (enables n up to 512: the old hard n<=256 cap was
+    the default 16M scoped budget, not hardware).  The per-element cost
+    is ~7x N^2 f32: in+out double-buffered (4x) plus the Schur
+    recursion's live intermediates (measured 5.9x total at N=384 from
+    the Mosaic scoped-alloc error; 7x leaves margin)."""
+    per = 7 * N * N * 4 + 2 * extra_bytes_per_elem
+    c = max(1, min(CHUNK, int(0.8 * VMEM_LIMIT) // per))
+    while c & (c - 1):
+        c &= c - 1
+    return c
 
 
 def _round_up(x, m):
@@ -183,7 +199,7 @@ def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
     B, n, _ = K.shape
     N = _padded_size(n)
     if chunk == 0:
-        chunk = CHUNK
+        chunk = _auto_chunk(N)
     Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
 
@@ -208,7 +224,7 @@ def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
         compiler_params=pltpu.CompilerParams(
             # scoped-VMEM headroom for chunk > 8 (v5e has 128M VMEM;
             # the default 16M budget rejects larger batch chunks)
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         **({"input_output_aliases": {0: 0}} if alias else {}),
         interpret=interpret,
     )(Kp)
