@@ -49,6 +49,13 @@ from ..utils.linalg import (kron, masked_cholesky, psd_cholesky,
 
 _SQRT2PI_LOG = math.log(2.0 * math.pi)
 
+# Route the MLL through the fused gram+invert op (ops/gramsolve.py):
+# same masked-Gram expression, but under batched TPU f32 the Gram is
+# built inside the sweep kernel's VMEM instead of round-tripping HBM
+# every Adam iteration.  False restores the explicit gram_kb +
+# solve_and_logdet pipeline (A/B tests compare both).
+FUSED_FIT = True
+
 
 def _softplus(x):
     return jax.nn.softplus(x)
@@ -231,13 +238,30 @@ class MVGP(NamedTuple):
         # VJP: the forward runs the recursive Schur/sweep inversion
         # kernel on TPU (ops/pallas_sweep.py) and the backward reuses the
         # explicit inverse — no triangular op anywhere in the fit.
-        from ..ops.cholinv import solve_and_logdet
         m = data.mask.astype(Y.dtype)
-        outer = m[:, None] * m[None, :]
-        eye = jnp.eye(data.X.shape[0], dtype=Y.dtype)
-        Km = (self.gram_kb(params, data) * outer
-              + eye * (1.0 - m)[:, None])
-        S, logdet_Kb = solve_and_logdet(Km, Y)   # (Kb^{-1} Y, logdet Kb)
+        if FUSED_FIT:
+            # fused gram+invert: the masked Gram is built in VMEM by the
+            # kernel and never materialized in HBM (ops/gramsolve.py);
+            # the expression is algebraically identical to the branch
+            # below (same raw-difference distances, same (UH (sB)) UH^T
+            # association, same dtype-aware nugget as gram_kb)
+            from ..ops.gramsolve import gram_solve_logdet
+            k = data.X.shape[0]
+            eps = jnp.finfo(Y.dtype).eps
+            UB = data.UH @ (params.outputscale * params.B)
+            diagKb = jnp.sum(UB * data.UH, -1)          # s * uh B uh
+            scale = jnp.maximum(jnp.mean(jnp.abs(diagKb)), 1.0)
+            nug = self.jitter + 10.0 * k * eps * scale
+            S, logdet_Kb = gram_solve_logdet(
+                data.X, UB, data.UH, 1.0 / params.lengthscale,
+                nug, m, Y)
+        else:
+            from ..ops.cholinv import solve_and_logdet
+            outer = m[:, None] * m[None, :]
+            eye = jnp.eye(data.X.shape[0], dtype=Y.dtype)
+            Km = (self.gram_kb(params, data) * outer
+                  + eye * (1.0 - m)[:, None])
+            S, logdet_Kb = solve_and_logdet(Km, Y)   # (Kb^{-1} Y, logdet)
         # A is n x n (n <= ~9) and PD by construction (W W^T + softplus
         # diag): the statically-unrolled factorization fuses into the
         # loss chain — jnp.linalg.cholesky of a 3x3 here is a ~700 us

@@ -125,58 +125,168 @@ def _sweep_block(M, tiny):
     return -M, ld
 
 
+def _bmm(a, b, ta=False, tb=False):
+    dims = (((1 if ta else 2,), (2 if tb else 1,)), ((0,), (0,)))
+    # HIGHEST: Mosaic would otherwise run bf16 MXU passes; the Schur
+    # recursion squares errors, so the combine matmuls stay exact f32
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _inv_logdet(M, n, tiny):
+    """(inverse VALUE, logdet) of an (n, n) PD block value.  Results
+    stay VALUES throughout the recursion: reading back partial
+    results from the output ref serializes Mosaic's pipeline
+    (measured 9x slower), so the output ref is written exactly once."""
+    if n == BASE:
+        return _sweep_block(M, tiny)
+    # split at floor(half) rounded to the BASE grid (handles any
+    # multiple-of-32 size, e.g. 224 -> 96 + 128)
+    h = (n // (2 * BASE)) * BASE
+    A = M[:, :h, :h]
+    B = M[:, :h, h:]
+    C = M[:, h:, h:]
+    Ainv, ld1 = _inv_logdet(A, h, tiny)
+    W = _bmm(Ainv, B)                                 # (CB, h, n-h)
+    S = C - _bmm(B, W, ta=True)
+    Sinv, ld2 = _inv_logdet(S, n - h, tiny)
+    WS = _bmm(W, Sinv)                                # (CB, h, h)
+    TL = Ainv + _bmm(WS, W, tb=True)
+    top = jnp.concatenate([TL, -WS], axis=2)
+    bot = jnp.concatenate([-jnp.swapaxes(WS, 1, 2), Sinv], axis=2)
+    return jnp.concatenate([top, bot], axis=1), ld1 + ld2
+
+
+def _identity_pad(M, N, n):
+    """Pad (CB, n, n) -> (CB, N, N) with an identity tail INSIDE the
+    kernel (cheap one-time VMEM concats; the padding rows contribute
+    log det I = 0 and an identity inverse block, discarded by the
+    sliced output write)."""
+    f32 = M.dtype
+    CB = M.shape[0]
+    pad = N - n
+    M = jnp.concatenate([M, jnp.zeros((CB, pad, n), f32)], axis=1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (N, pad), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (N, pad), 1)
+    tail = (ri == ci + n).astype(f32)                # (N, pad) eye tail
+    return jnp.concatenate(
+        [M, jnp.broadcast_to(tail[None], (CB, N, pad))], axis=2)
+
+
 def _kernel(N, n, k_ref, kinv_ref, ld_ref):
     f32 = k_ref.dtype
     tiny = jnp.full((1, 1, 1), 1e-12, f32)
-
-    def bmm(a, b, ta=False, tb=False):
-        dims = (((1 if ta else 2,), (2 if tb else 1,)), ((0,), (0,)))
-        # HIGHEST: Mosaic would otherwise run bf16 MXU passes; the Schur
-        # recursion squares errors, so the combine matmuls stay exact f32
-        return jax.lax.dot_general(a, b, dimension_numbers=dims,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-
-    def inv_logdet(M, n):
-        """(inverse VALUE, logdet) of an (n, n) PD block value.  Results
-        stay VALUES throughout the recursion: reading back partial
-        results from the output ref serializes Mosaic's pipeline
-        (measured 9x slower), so kinv_ref is written exactly once."""
-        if n == BASE:
-            return _sweep_block(M, tiny)
-        # split at floor(half) rounded to the BASE grid (handles any
-        # multiple-of-32 size, e.g. 224 -> 96 + 128)
-        h = (n // (2 * BASE)) * BASE
-        A = M[:, :h, :h]
-        B = M[:, :h, h:]
-        C = M[:, h:, h:]
-        Ainv, ld1 = inv_logdet(A, h)
-        W = bmm(Ainv, B)                                  # (CB, h, n-h)
-        S = C - bmm(B, W, ta=True)
-        Sinv, ld2 = inv_logdet(S, n - h)
-        WS = bmm(W, Sinv)                                 # (CB, h, h)
-        TL = Ainv + bmm(WS, W, tb=True)
-        top = jnp.concatenate([TL, -WS], axis=2)
-        bot = jnp.concatenate([-jnp.swapaxes(WS, 1, 2), Sinv], axis=2)
-        return jnp.concatenate([top, bot], axis=1), ld1 + ld2
-
     M = k_ref[:]
     if n < N:
-        # identity-pad INSIDE the kernel (cheap one-time VMEM concats;
-        # the padding rows contribute log det I = 0 and an identity
-        # inverse block, discarded by the sliced write below)
-        CB = M.shape[0]
-        pad = N - n
-        M = jnp.concatenate(
-            [M, jnp.zeros((CB, pad, n), f32)], axis=1)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (N, pad), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (N, pad), 1)
-        tail = (ri == ci + n).astype(f32)                # (N, pad) eye tail
-        M = jnp.concatenate(
-            [M, jnp.broadcast_to(tail[None], (CB, N, pad))], axis=2)
-    Kinv, ld = inv_logdet(M, N)
+        M = _identity_pad(M, N, n)
+    Kinv, ld = _inv_logdet(M, N, tiny)
     kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
+
+
+def _fused_kernel(N, n, xd, mh, packed_ref, kinv_ref, ld_ref):
+    """Build the masked MVGP fit-Gram in VMEM, then invert it.
+
+    packed columns (see pack_gram_inputs): [0:xd] raw X, [xd:xd+mh]
+    UH @ (s*B), [xd+mh:xd+2mh] UH, [xd+2mh:2xd+2mh] 1/ell broadcast,
+    [2xd+2mh] nugget broadcast, [2xd+2mh+1] row-validity mask.
+
+    The Gram never touches HBM: the unfused fit paid a (B, k, k) f32
+    write (XLA gram) + read (kernel input) per Adam iteration.
+    Distances accumulate EXACT raw differences scaled by 1/ell — the
+    same cancellation-safe form as models/mvgp.k_xx (round-2 dot-form
+    regression), and ubu = (UH sB) UH^T matches XLA's left-to-right
+    association of UH @ (sB) @ UH^T."""
+    f32 = packed_ref.dtype
+    tiny = jnp.full((1, 1, 1), 1e-12, f32)
+    P = packed_ref[:]                                  # (CB, n, F)
+    CB = P.shape[0]
+
+    d2 = jnp.zeros((CB, n, n), f32)
+    for a in range(xd):
+        col = P[:, :, a:a + 1]                         # (CB, n, 1)
+        # per-element scalars are packed as full columns so every
+        # broadcast below is lane-only (Mosaic rejects a (CB,1,1) ->
+        # (CB,n,n) broadcast: "Broadcast in both sublanes and lanes")
+        iell = P[:, :, xd + 2 * mh + a:xd + 2 * mh + a + 1]
+        d = (col - jnp.swapaxes(col, 1, 2)) * iell
+        d2 = d2 + d * d
+    rbf = jnp.exp(-0.5 * d2)
+    UB = P[:, :, xd:xd + mh]
+    U = P[:, :, xd + mh:xd + 2 * mh]
+    ubu = _bmm(UB, U, tb=True)                         # (CB, n, n)
+    nug = P[:, :, 2 * xd + 2 * mh:2 * xd + 2 * mh + 1]
+    mk = P[:, :, 2 * xd + 2 * mh + 1:2 * xd + 2 * mh + 2]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (ri == ci).astype(f32)[None]
+    M = (rbf * ubu * (mk * jnp.swapaxes(mk, 1, 2))
+         + nug * eye * mk + eye * (1.0 - mk))
+    if n < N:
+        M = _identity_pad(M, N, n)
+    Kinv, ld = _inv_logdet(M, N, tiny)
+    kinv_ref[:] = Kinv[:, :n, :n]
+    ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
+
+
+def pack_gram_inputs(X, UB, UH, inv_ell, nug, mask):
+    """Pack per-GP fit-Gram inputs into one (B, k, 2*xd+2*mh+2) array
+    for the fused kernel.  All leading dims must match; scalars
+    broadcast along rows."""
+    B, k, xd = X.shape
+    mh = UH.shape[-1]
+    f32 = jnp.float32
+    cols = [X.astype(f32), UB.astype(f32), UH.astype(f32),
+            jnp.broadcast_to(inv_ell[:, None, :].astype(f32), (B, k, xd)),
+            jnp.broadcast_to(nug[:, None, None].astype(f32), (B, k, 1)),
+            mask.astype(f32)[:, :, None]]
+    return jnp.concatenate(cols, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("xd", "mh", "interpret"))
+def batched_gram_kinv_logdet(packed, xd: int, mh: int,
+                             interpret: bool = False):
+    """Fused masked-Gram build + (K^{-1}, logdet K); f32.
+
+    packed: (B, k, 2*xd+2*mh+2) from pack_gram_inputs.  Saves the
+    (B, k, k) Gram HBM round-trip the unfused fit pays per Adam
+    iteration (kernel input shrinks ~k/(2(xd+mh)) times)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, F = packed.shape
+    assert F == 2 * xd + 2 * mh + 2
+    N = _padded_size(n)
+    chunk = _auto_chunk(N)
+    Bp = max(_round_up(B, chunk), chunk)
+    f32 = jnp.float32
+
+    Pp = packed.astype(f32)
+    if Bp != B:
+        # batch-tail padding: zero rows with mask=0 make the in-kernel
+        # Gram an identity (finite, garbage-free sweeps)
+        Pp = jnp.concatenate(
+            [Pp, jnp.zeros((Bp - B, n, F), f32)], axis=0)
+
+    grid = (Bp // chunk,)
+    Kinv, ld = pl.pallas_call(
+        functools.partial(_fused_kernel, N, n, xd, mh),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((Bp, n, n), f32),
+                   jax.ShapeDtypeStruct((Bp, 1, 128), f32)),
+        in_specs=[pl.BlockSpec((chunk, n, F), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((chunk, 1, 128), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(Pp)
+    return (Kinv[:B].astype(packed.dtype),
+            ld[:B, 0, 0].astype(packed.dtype))
 
 
 @functools.partial(jax.jit,

@@ -132,11 +132,14 @@ def main():
                 round(t_refit / (n_fits * training_iter) * 1e3, 3)
                 if n_fits else None),
         }
+        floor_s = moments_bytes / (hbm_gbps * 1e9)
         result["bw_util"] = {
             "hbm_gbps_measured": hbm_gbps,
-            "moments_floor_s": round(moments_bytes / (hbm_gbps * 1e9), 4),
-            "moments_bw_util": round(
-                moments_bytes / (hbm_gbps * 1e9) / t_moments, 3),
+            "moments_floor_s": round(floor_s, 4),
+            # ratio of the HBM-stream floor to the measured moments phase;
+            # null when the phase is below timing noise (tiny configs)
+            "moments_bw_util": (round(floor_s / t_moments, 3)
+                                if t_moments > 1e-3 else None),
         }
     print(json.dumps(result))
 
