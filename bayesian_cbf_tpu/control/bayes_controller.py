@@ -98,28 +98,26 @@ def warm_init(cfg: BayesCLFControllerConfig, n_cbfs: int, dtype):
     return (jnp.zeros((nvar,), dtype), e, e)
 
 
-def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
-                      moments_fn, x, t, warm=None):
-    """One control step via closed-form cones.
+def constraint_cone_terms(cfg: BayesCLFControllerConfig, clf, cbfs,
+                          planner, moments, x, t):
+    """The affine/quadratic pieces of the CLC + CBC chance cones.
 
-    moments_fn: x -> (FT (n, 1+m), Bk (1+m, 1+m), A (n, n)) posterior
-    moments of the learned dynamics.  Returns (u_opt, ControlInfo); with
-    `warm` (previous step's (x, s, z)) returns (u_opt, ControlInfo,
-    warm_next) and runs the reduced cfg.socp_iters_warm iteration count."""
-    m = cfg.u_dim
+    Shared by `bayes_clf_control` (which assembles them into the SOCP)
+    and `chance_constraint_margins` (the post-hoc audit of realized
+    margins at applied controls), so the two can never drift.  Parity:
+    the cone semantics of bayes_cbf/unicycle_move_to_pose.py:880-922.
+
+    Returns (sgn, const, m_aff, s, LbT): row 0 is the CLC (sign -1,
+    gets the relax slack in the SOCP), rows 1..C the CBCs."""
     dtype = x.dtype
-    state_goal = planner.plan(t)
-    rho = jnp.asarray(cfg.rho, dtype)
-    extravars = 2
-    nvar = m + extravars
-
-    FT, Bk, A = moments_fn(x)
+    FT, Bk, A = moments
     # (1+m) x (1+m) posterior row covariance: unrolled factorization —
     # the laddered XLA cholesky here was a per-step latency-bound
     # custom call in the rollout scan (round-3 profiler trace)
     Lb = psd_chol_small_ladder(Bk, init_jitter=1e-10)
     LbT = Lb.T                                    # (1+m, 1+m)
 
+    state_goal = planner.plan(t)
     # linear functionals and additive constants per constraint
     gclf = clf.grad_clf(x, state_goal)
     consts = [cfg.clf_gamma * clf.clf(x, state_goal)
@@ -136,9 +134,52 @@ def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
 
     m_aff = W @ FT                               # (C, 1+m): [const, u-coefs]
     s = jnp.einsum('ci,ij,cj->c', W, A, W)       # (C,) variance scale
+    return sgn, const, m_aff, s, LbT
+
+
+def chance_constraint_margins(cfg: BayesCLFControllerConfig, clf, cbfs,
+                              planner, moments, x, t, u):
+    """Realized chance-constraint margins at an APPLIED control u.
+
+    margin_c = sgn_c (m_aff_c [1; u] + const_c)
+               - rho sqrt(s_c) || LbT[:, 1:] u + LbT[:, 0] ||
+
+    i.e. the amount by which the probabilistic constraint holds at u
+    (>= 0 means Pr[violation] <= max_risk under the posterior).  Row 0
+    is the CLC WITHOUT its relax slack — it may legitimately go
+    negative; rows 1.. are the CBCs, which the audit gates.  This is
+    the cross-check that the f32 feasibility gate (feas_tol ~5e-3
+    relative primal residual) never admits a control that actually
+    violates a safety cone (round-2 review weak item 9)."""
+    sgn, const, m_aff, s, LbT = constraint_cone_terms(
+        cfg, clf, cbfs, planner, moments, x, t)
+    rho = jnp.asarray(cfg.rho, x.dtype)
+    lin = sgn * (m_aff[:, 0] + m_aff[:, 1:] @ u + const)
+    nv = LbT[:, 1:] @ u + LbT[:, 0]
+    return lin - rho * jnp.sqrt(jnp.maximum(s, 0.0)) * jnp.linalg.norm(nv)
+
+
+def bayes_clf_control(cfg: BayesCLFControllerConfig, clf, cbfs, planner,
+                      moments_fn, x, t, warm=None):
+    """One control step via closed-form cones.
+
+    moments_fn: x -> (FT (n, 1+m), Bk (1+m, 1+m), A (n, n)) posterior
+    moments of the learned dynamics.  Returns (u_opt, ControlInfo); with
+    `warm` (previous step's (x, s, z)) returns (u_opt, ControlInfo,
+    warm_next) and runs the reduced cfg.socp_iters_warm iteration count."""
+    m = cfg.u_dim
+    dtype = x.dtype
+    rho = jnp.asarray(cfg.rho, dtype)
+    extravars = 2
+    nvar = m + extravars
+
+    mom = moments_fn(x)
+    Bk = mom[1]
+    sgn, const, m_aff, s, LbT = constraint_cone_terms(
+        cfg, clf, cbfs, planner, mom, x, t)
     sqrt_s = jnp.sqrt(jnp.maximum(s, 0.0))
 
-    ncon = W.shape[0]
+    ncon = sgn.shape[0]
     # a near-zero safety factor (max_risk -> 0.5, the "mean CBF" setting)
     # degenerates the SOCs to half-spaces; emitting them as linear 1-dim
     # cones keeps the NT scaling well-conditioned (f32 fast path)

@@ -176,3 +176,31 @@ def min_obstacle_clearance(sim: UnicycleSim, out):
 def goal_distance(out, x_goal=STATE_GOAL):
     xg = jnp.asarray(x_goal)
     return jnp.linalg.norm(out.X[-1, :2] - xg[:2])
+
+
+def realized_cbc_margins(sim: UnicycleSim, out, x0=STATE_START,
+                         seed: int = 0):
+    """Post-hoc audit: realized CBC chance-constraint margins at every
+    APPLIED control of a rollout (T, n_cbfs).
+
+    Cross-checks the controller's f32 feasibility gate (relative primal
+    residual ~5e-3, control/bayes_controller.py): a step the solver
+    marked feasible must actually satisfy each CBC cone at the applied
+    u.  Only exact for enable_learning=False sims (static GP state —
+    the same posterior the in-scan controller used); with learning the
+    margins are evaluated under the INITIAL prior and are advisory.
+    Uses `chance_constraint_margins`, which shares its cone math with
+    the controller itself (single source of truth)."""
+    from ..control.bayes_controller import chance_constraint_margins
+    init = sim.init_state(jnp.asarray(x0, out.X.dtype),
+                          jax.random.PRNGKey(seed))
+    dyn_state = init[1]
+
+    def one(x, u, t):
+        mom = sim.learned_dynamics.moments(dyn_state, x)
+        mg = chance_constraint_margins(sim.controller, sim.clf, sim.cbfs,
+                                       sim.planner, mom, x, t, u)
+        return mg[1:]                           # drop the relaxed CLC row
+
+    ts = jnp.arange(out.X.shape[0])
+    return jax.jit(jax.vmap(one))(out.X, out.U, ts)

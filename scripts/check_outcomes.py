@@ -29,7 +29,7 @@ def main():
         unicycle_bayes_cbf_safe_obstacle,
         unicycle_learning_helps_avoid_getting_stuck,
         unicycle_no_learning_gets_stuck,
-        min_obstacle_clearance, goal_distance)
+        min_obstacle_clearance, goal_distance, realized_cbc_margins)
     t0 = time.time()
     res = {}
     for name, fn in [
@@ -44,9 +44,26 @@ def main():
             "goal_dist": round(float(np.asarray(goal_distance(out))), 4),
             "feasible": round(float(out.info.feasible.mean()), 4),
         }
+        if name == "bayes_cbf":
+            # audit the f32 feasibility gate: among feasible-marked
+            # steps, the realized CBC chance-constraint margin at the
+            # applied u must not be meaningfully negative (static-GP
+            # config, so the audit posterior == the in-scan posterior)
+            mg = np.asarray(realized_cbc_margins(sim, out))
+            feas = np.asarray(out.info.feasible) > 0.5
+            worst = float(mg[feas].min()) if feas.any() else float("nan")
+            scale = float(np.median(np.abs(mg))) or 1.0
+            res[name]["min_feasible_cbc_margin"] = round(worst, 5)
+            res[name]["cbc_margin_scale"] = round(scale, 4)
     verdicts = {
         "collides": res["mean_cbf"]["min_clearance"] < 0,
         "safe": res["bayes_cbf"]["min_clearance"] > 0,
+        # weak-9 cross-check: the 5e-3-relative-pres f32 gate must not
+        # admit controls that violate a safety cone beyond f32 slack
+        # (1% of the typical margin magnitude)
+        "feasible_steps_respect_cbc":
+            res["bayes_cbf"]["min_feasible_cbc_margin"]
+            > -0.01 * res["bayes_cbf"]["cbc_margin_scale"],
         # the full learning claim: strictly better goal progress than
         # no-learning AND actually approaches the goal (reference ends
         # near the goal; the stuck run stays ~3.2 away)

@@ -346,3 +346,22 @@ def test_checkpoint_mismatch_raises(tmp_path):
     params2 = load_checkpoint(path, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_realized_cbc_margins_nonnegative_on_feasible_steps():
+    """Weak-9 audit (f64): every solver-feasible step's applied control
+    must satisfy each CBC chance cone — realized margin >= -1e-5 — and
+    the audit math must be the controller's own (shared
+    constraint_cone_terms).  Static-GP config so the audit posterior is
+    exactly the in-scan posterior."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        unicycle_bayes_cbf_safe_obstacle, realized_cbc_margins)
+    sim, out = unicycle_bayes_cbf_safe_obstacle(numSteps=60, dt=0.01)
+    mg = np.asarray(realized_cbc_margins(sim, out))
+    feas = np.asarray(out.info.feasible) > 0.5
+    assert feas.any()
+    assert np.all(np.isfinite(mg))
+    assert mg[feas].min() > -1e-5, mg[feas].min()
