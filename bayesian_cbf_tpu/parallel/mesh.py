@@ -85,6 +85,74 @@ def sharded_predict_fullmat(gp, params, data, cache, Xtest,
     return fn(params, data, cache, Xtest)
 
 
+def trainaxis_sharded_predict_fullmat(gp, params, data, cache, Xtest,
+                                      mesh: Optional[Mesh] = None,
+                                      axis: str = "tp"):
+    """Tensor-parallel batched posterior with the TRAIN-POINT (k) axis
+    sharded — the SURVEY 5.8 "shard the train-point axis of the
+    Cholesky when k grows" capability, made concrete.
+
+    The posterior consumes the factorization only through Linv (the
+    explicit triangular inverse in MVGPCache), and every k-contraction
+    decomposes over Linv ROW BLOCKS:
+
+        z* = Linv kb*_flat,  zY = Linv Y
+        Bk   = prior - sum_r z*_r^T z*_r     (one psum over row blocks)
+        mean = M^T  + sum_r z*_r^T zY_r      (same psum pattern)
+
+    so each device holds a (k/d, k) row block of Linv and contributes a
+    rank-(k/d) partial outer product; the only communication is two
+    psums over the mesh axis (ICI).  The replicated operands (kb*, Y)
+    are O(k (1+m)) — negligible next to the O(k^2) factor.  Exact same
+    math as `gp.predict_fullmat` (parity oracle in
+    tests/test_parallel.py; reference semantics
+    bayes_cbf/control_affine_model.py:963-1091)."""
+    if mesh is None:
+        mesh = make_mesh(axis_names=(axis,))
+    d = mesh.shape[axis]
+    K = cache.Linv.shape[0]
+    if K % d != 0:
+        raise ValueError(
+            "trainaxis_sharded_predict_fullmat: train capacity K=%d is "
+            "not divisible by the %r mesh axis (%d devices); pick a "
+            "max_train that is a multiple of the axis size" % (K, axis, d))
+    b = Xtest.shape[0]
+    mh = 1 + gp.u_dim
+    dtype = Xtest.dtype
+
+    # replicated small operands (computed once, O(k (1+m)) each)
+    kb = gp._kb_star(params, data, Xtest)               # (b, K, 1+m)
+    kb_flat = kb.transpose(1, 0, 2).reshape(K, b * mh)  # (K, b(1+m))
+    Y = gp.residual_Y(params, data)                     # (K, n)
+    Kss = gp.k_xx(params, Xtest, Xtest)                 # (b, b)
+    prior = (Kss[:, :, None, None] * params.B[None, None]
+             ).transpose(0, 2, 1, 3).reshape(b * mh, b * mh)
+
+    P_row = P(axis, None)
+    P_rep = P()
+
+    def block(Linv_r, kbf, Yf):
+        z = Linv_r @ kbf                                # (K/d, b(1+m))
+        zY = Linv_r @ Yf                                # (K/d, n)
+        cross = jax.lax.psum(z.T @ z, axis)             # (b(1+m), b(1+m))
+        madj = jax.lax.psum(z.T @ zY, axis)             # (b(1+m), n)
+        return cross, madj
+
+    Linv_sh = jax.device_put(cache.Linv, NamedSharding(mesh, P_row))
+    cross, madj = jax.jit(jax.shard_map(
+        block, mesh=mesh, in_specs=(P_row, P_rep, P_rep),
+        out_specs=(P_rep, P_rep)))(Linv_sh, kb_flat, Y)
+
+    BkXX = prior - cross
+    BkXX = 0.5 * (BkXX + BkXX.T)
+    from ..utils.linalg import kron
+    var = kron(BkXX.astype(dtype), params.A.astype(dtype))
+    meanFT = (jnp.broadcast_to(params.mean_M.T[None], (b, gp.x_dim, mh))
+              + madj.reshape(b, mh, -1).transpose(0, 2, 1))
+    mean = meanFT.transpose(0, 2, 1).reshape(-1)
+    return mean, var
+
+
 def rollout_safety_stats(outs, cbf_centers, cbf_radii, x_goal):
     """On-device aggregate metrics over a (possibly sharded) batch of
     rollouts: collision fraction, mean final goal distance, min clearance.

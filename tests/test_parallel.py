@@ -105,3 +105,53 @@ def test_batched_rollouts_indivisible_batch_raises():
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     with pytest.raises(ValueError, match="divisible"):
         batched_rollouts(sim, x0s, keys, mesh=mesh)
+
+
+def test_trainaxis_sharded_predict_matches_single_device():
+    """Train-point-axis (k) tensor-parallel posterior: row-blocked Linv
+    + psum of partial outer products must equal the unsharded
+    predict_fullmat exactly (f64)."""
+    import numpy as np
+    from bayesian_cbf_tpu.models.mvgp import make_mvgp
+    from bayesian_cbf_tpu.parallel.mesh import (
+        make_mesh, trainaxis_sharded_predict_fullmat)
+    rng = np.random.default_rng(5)
+    K, b = 24, 7                       # K divisible by the 8-device axis
+    X = jnp.asarray(rng.normal(size=(K, 3)))
+    U = jnp.asarray(rng.normal(size=(K, 2)))
+    Xdot = jnp.asarray(rng.normal(size=(K, 3)))
+    Xtest = jnp.asarray(rng.normal(size=(b, 3)))
+    gp = make_mvgp(3, 2)
+    params = gp.init_params(jax.random.PRNGKey(0))
+    data = gp.make_data(X, U, Xdot)
+    # masked tail rows must round-trip too (ring-buffer semantics)
+    data = data._replace(mask=data.mask.at[-5:].set(0.0))
+    cache = gp.refresh_cache(params, data)
+    mean_ref, var_ref = gp.predict_fullmat(params, data, cache, Xtest)
+    mesh = make_mesh(axis_names=("tp",))
+    mean_sh, var_sh = trainaxis_sharded_predict_fullmat(
+        gp, params, data, cache, Xtest, mesh)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var_ref),
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_trainaxis_sharded_predict_indivisible_k_raises():
+    import pytest
+    from bayesian_cbf_tpu.models.mvgp import make_mvgp
+    from bayesian_cbf_tpu.parallel.mesh import (
+        make_mesh, trainaxis_sharded_predict_fullmat)
+    rng = np.random.default_rng(6)
+    K = 21                             # not divisible by 8
+    gp = make_mvgp(3, 2)
+    params = gp.init_params(jax.random.PRNGKey(0))
+    data = gp.make_data(jnp.asarray(rng.normal(size=(K, 3))),
+                        jnp.asarray(rng.normal(size=(K, 2))),
+                        jnp.asarray(rng.normal(size=(K, 3))))
+    cache = gp.refresh_cache(params, data)
+    mesh = make_mesh(axis_names=("tp",))
+    with pytest.raises(ValueError, match="divisible"):
+        trainaxis_sharded_predict_fullmat(
+            gp, params, data, cache,
+            jnp.asarray(rng.normal(size=(4, 3))), mesh)
