@@ -18,21 +18,21 @@ refits.  A triangular factor is never needed, so this kernel computes
     (CB, h, h) MXU batched matmul on VMEM-resident values; PD-ness of A
     and S is inherited from K, so no pivoting is needed (same stability
     class as Cholesky-based inversion, protected by the Gram jitter).
-  * base case (32x32): the symmetric sweep operator — n masked rank-1
-    steps vectorized over the batch chunk; after sweeping all pivots
-    M -> -M^{-1}, and the pivots d_i are the successive conditional
-    variances, so logdet = sum_i log d_i.
+  * base case (size-dependent, see _pick_base): the symmetric sweep
+    operator — base-many masked rank-1 steps vectorized over the batch
+    chunk; after sweeping all pivots M -> -M^{-1}, and the pivots d_i
+    are the successive conditional variances, so logdet = sum log d_i.
 
 Batch is padded to the CHUNK grid; N is padded to the next multiple of
-32 with an identity diagonal (inverse and logdet of blockdiag(K, I)
-restrict trivially).  The identity padding happens INSIDE the kernel on
-the loaded VMEM value: materializing the padded matrix on the XLA side
-was a measured 0.68 ms/Adam-iteration dynamic-update-slice (a 67 MB
-HBM round-trip per fit step at (256, 200->256), round-3 trace), and
-rounding 200 up to a power of two instead of 224 inflated every HBM
-stream and combine matmul by a further (256/224)^2 = 1.3x.  The
-recursion handles any multiple-of-32 size by splitting at the
-half-rounded-to-32 boundary.  f32 only (the TPU fast path).
+the base with an identity diagonal (inverse and logdet of
+blockdiag(K, I) restrict trivially).  The identity padding happens
+INSIDE the kernel on the loaded VMEM value: materializing the padded
+matrix on the XLA side was a measured 0.68 ms/Adam-iteration
+dynamic-update-slice (a 67 MB HBM round-trip per fit step at
+(256, 200->256), round-3 trace), and rounding 200 up to a power of two
+inflated every HBM stream and combine matmul by a further 1.3x.  The
+recursion handles any multiple-of-base size by splitting at the
+half-rounded-to-base boundary.  f32 only (the TPU fast path).
 """
 from __future__ import annotations
 
@@ -41,7 +41,31 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BASE = 32         # sweep-operator base block
+# Sweep-operator base block.  The serial pivot loop's per-op VPU cost
+# scales with the SUBLANE footprint of a (CB, BASE, BASE) masked update
+# (lanes pad to 128 regardless), while the pivot COUNT is always n —
+# so smaller bases cut sweep cycles almost linearly until the deeper
+# combine tree's small-matmul dispatch overhead wins.  Measured
+# ms/inversion (in-scan marginal, one process, round 3):
+#   (256, 200): BASE 32/16/8 = 2.87 / 1.99 / 1.71
+#   (64, 512):  BASE 16/8    = 1.91 / 2.58
+# so the base is size-dependent: 8 up to n<=256 (also makes k=200 pad
+# to 200 exactly), 16 above.  Residual/logdet accuracy is identical
+# across bases (conditioning-dominated).
+BASE_SMALL = 8
+BASE_LARGE = 16
+_BASE_SWITCH_N = 256
+# legacy alias: tests/benches that monkeypatch a single block size set
+# this; _pick_base honors it when not None
+BASE = None
+
+
+def _pick_base(n):
+    if BASE is not None:
+        return BASE
+    return BASE_SMALL if n <= _BASE_SWITCH_N else BASE_LARGE
+
+
 # max batch elements per grid cell (chunk=0 auto-selects).  Round-3
 # in-process A/B at (256, 200, 200): chunk 8/16/32 = 4.82/4.41/4.22 ms
 # with the raised vmem budget (the round-2 "anything above 8 OOMs"
@@ -72,9 +96,11 @@ def _round_up(x, m):
 
 
 def _padded_size(n):
-    """Smallest multiple of BASE >= n.  The recursion splits any block
-    count at floor(half) blocks, so no power-of-two constraint."""
-    return max(_round_up(n, BASE), BASE)
+    """Smallest multiple of the size-dependent base >= n.  The recursion
+    splits any block count at floor(half) blocks, so no power-of-two
+    constraint."""
+    base = _pick_base(n)
+    return max(_round_up(n, base), base)
 
 
 def _sweep_block(M, tiny):
@@ -134,23 +160,23 @@ def _bmm(a, b, ta=False, tb=False):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _inv_logdet(M, n, tiny):
+def _inv_logdet(M, n, tiny, base):
     """(inverse VALUE, logdet) of an (n, n) PD block value.  Results
     stay VALUES throughout the recursion: reading back partial
     results from the output ref serializes Mosaic's pipeline
     (measured 9x slower), so the output ref is written exactly once."""
-    if n == BASE:
+    if n == base:
         return _sweep_block(M, tiny)
-    # split at floor(half) rounded to the BASE grid (handles any
-    # multiple-of-32 size, e.g. 224 -> 96 + 128)
-    h = (n // (2 * BASE)) * BASE
+    # split at floor(half) rounded to the base grid (handles any
+    # multiple-of-base size, e.g. 224 -> 96 + 128 at base 32)
+    h = (n // (2 * base)) * base
     A = M[:, :h, :h]
     B = M[:, :h, h:]
     C = M[:, h:, h:]
-    Ainv, ld1 = _inv_logdet(A, h, tiny)
+    Ainv, ld1 = _inv_logdet(A, h, tiny, base)
     W = _bmm(Ainv, B)                                 # (CB, h, n-h)
     S = C - _bmm(B, W, ta=True)
-    Sinv, ld2 = _inv_logdet(S, n - h, tiny)
+    Sinv, ld2 = _inv_logdet(S, n - h, tiny, base)
     WS = _bmm(W, Sinv)                                # (CB, h, h)
     TL = Ainv + _bmm(WS, W, tb=True)
     top = jnp.concatenate([TL, -WS], axis=2)
@@ -180,7 +206,7 @@ def _kernel(N, n, k_ref, kinv_ref, ld_ref):
     M = k_ref[:]
     if n < N:
         M = _identity_pad(M, N, n)
-    Kinv, ld = _inv_logdet(M, N, tiny)
+    Kinv, ld = _inv_logdet(M, N, tiny, _pick_base(n))
     kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
 
@@ -225,7 +251,7 @@ def _fused_kernel(N, n, xd, mh, packed_ref, kinv_ref, ld_ref):
          + nug * eye * mk + eye * (1.0 - mk))
     if n < N:
         M = _identity_pad(M, N, n)
-    Kinv, ld = _inv_logdet(M, N, tiny)
+    Kinv, ld = _inv_logdet(M, N, tiny, _pick_base(n))
     kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
 
