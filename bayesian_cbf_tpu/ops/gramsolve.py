@@ -91,27 +91,29 @@ def _gram_kinv_logdet_vmap_rule(axis_size, in_batched, *args):
         use = (jax.default_backend() == "tpu"
                and X.dtype == jnp.float32
                and X.shape[-2] <= _PALLAS_MAX_N)   # k = the Gram dim
+    # collapse any nested-vmap leading dims to one batch axis (the same
+    # treatment as cholinv._kinv_logdet_vmap_rule)
+    lead = X.shape[:-2]
+    k, xd = X.shape[-2:]
+    mh = UH.shape[-1]
+    flat = lambda a: a.reshape((-1,) + a.shape[len(lead):])
+    Xf, UBf, UHf = flat(X), flat(UB), flat(UH)
+    ief, nugf, mf = flat(inv_ell), flat(nug), flat(mask)
     if use and X.ndim >= 3:
         from .pallas_sweep import (pack_gram_inputs,
                                    batched_gram_kinv_logdet,
                                    batched_kinv_logdet)
-        lead = X.shape[:-2]
-        k, xd = X.shape[-2:]
-        mh = UH.shape[-1]
-        flat = lambda a: a.reshape((-1,) + a.shape[len(lead):])
         if GRAM_IN_KERNEL:
-            packed = pack_gram_inputs(flat(X), flat(UB), flat(UH),
-                                      flat(inv_ell), flat(nug), flat(mask))
+            packed = pack_gram_inputs(Xf, UBf, UHf, ief, nugf, mf)
             Kinv, ld = batched_gram_kinv_logdet(packed, xd, mh)
         else:
-            Km = jax.vmap(km_expr)(flat(X), flat(UB), flat(UH),
-                                   flat(inv_ell), flat(nug), flat(mask))
+            Km = jax.vmap(km_expr)(Xf, UBf, UHf, ief, nugf, mf)
             Kinv, ld = batched_kinv_logdet(Km.astype(jnp.float32))
-        out = (Kinv.reshape(lead + (k, k)).astype(X.dtype),
-               ld.reshape(lead).astype(X.dtype))
     else:
-        out = _kinv_logdet_ref(
-            jax.vmap(km_expr)(X, UB, UH, inv_ell, nug, mask))
+        Kinv, ld = _kinv_logdet_ref(
+            jax.vmap(km_expr)(Xf, UBf, UHf, ief, nugf, mf))
+    out = (Kinv.reshape(lead + (k, k)).astype(X.dtype),
+           ld.reshape(lead).astype(X.dtype))
     return out, (True, True)
 
 

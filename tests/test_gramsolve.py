@@ -196,3 +196,23 @@ def test_mll_unchanged_by_fused_fit(batched):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-10)
+
+
+def test_gram_kinv_logdet_nested_vmap():
+    """Nested vmap over gram_kinv_logdet must collapse the leading batch
+    dims (same treatment as cholinv's rule) instead of crashing."""
+    rng = np.random.default_rng(7)
+    rows = [[_random_inputs(rng, k=12, dtype=jnp.float64)[:6]
+             for _ in range(2)] for _ in range(3)]
+    stack = lambda i: jnp.stack([jnp.stack([rows[a][b][i]
+                                            for b in range(2)])
+                                 for a in range(3)])
+    X, UB, UH, inv_ell, nug, mask = [stack(i) for i in range(6)]
+    f = jax.vmap(jax.vmap(gramsolve.gram_kinv_logdet))
+    Kinv, ld = f(X, UB, UH, inv_ell, nug, mask)
+    assert Kinv.shape == (3, 2, 12, 12) and ld.shape == (3, 2)
+    Km00 = gramsolve.km_expr(X[1, 1], UB[1, 1], UH[1, 1],
+                             inv_ell[1, 1], nug[1, 1], mask[1, 1])
+    np.testing.assert_allclose(np.asarray(Kinv[1, 1]),
+                               np.linalg.inv(np.asarray(Km00)),
+                               rtol=1e-8, atol=1e-10)
