@@ -93,7 +93,8 @@ def make_pendulum_online_sim(
         numSteps=250, dt=2e-3, max_train=40, training_iter=25,
         train_every_n_steps=10, max_unsafe_prob=0.01,
         k_alpha=(1.0, 3.0), ctrl_range=(-15.0, 15.0),
-        egreedy_scheme=(1.0, 0.01), socp_iters=25):
+        egreedy_scheme=(1.0, 0.01), socp_iters=25,
+        training_iter_warm=0):
     """run_pendulum_control_online_learning configuration
     (pendulum.py:1041-1048; max_train reduced from 200 for CI speed —
     pass max_train=200 for the full config)."""
@@ -103,7 +104,7 @@ def make_pendulum_online_sim(
         mean_dynamics=ZeroDynamics(state_size=2, ctrl_size=1),
         max_train=max_train, training_iter=training_iter,
         shift_invariant=False, train_every_n_steps=train_every_n_steps,
-        enable_learning=True, dt=dt)
+        enable_learning=True, dt=dt, training_iter_warm=training_iter_warm)
     controller = LearnedSOCPControllerConfig(
         u_dim=1, x_dim=2, ctrl_reg=1.0, clf_relax_weight=100.0,
         max_unsafe_prob=max_unsafe_prob, k_alpha=k_alpha,
@@ -160,10 +161,13 @@ def run_pendulum_online_learning(sim: PendulumOnlineSim,
         # test_single_runner_matches_segmented_reference) but the fit
         # program compiles ONCE instead of once per segment — the
         # 25-segment flagship program took minutes to compile
+        lrn = sim.learned
         _, ys = scan_with_scheduled_fits(
-            sim.step_no_fit, sim.learned.fit_now, (x0, dyn_state, ks),
-            sim.numSteps, sim.learned.train_every_n_steps,
-            sim.learned.enable_learning)
+            sim.step_no_fit, lrn.fit_now, (x0, dyn_state, ks),
+            sim.numSteps, lrn.train_every_n_steps,
+            lrn.enable_learning,
+            fit_fn_warm=(lrn.fit_now_warm if lrn.warm_refits_differ
+                         else None))
         return ys
 
     X, U, Xdot, info = _cached_jit(sim, "online_single", run)(
@@ -213,14 +217,17 @@ def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
     def run(x0s, dyn_states, ekeys):
         carry = (x0s, dyn_states, ekeys)
         ys = []
+        fit_event = 0
         for (s, e, do_fit) in segs:
             carry, y = jax.lax.scan(step, carry, jnp.arange(s, e))
             ys.append(y)
             if do_fit:
                 X, states, keys = carry
-                fitted = jax.vmap(lrn.fit_now)(states)
+                fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
+                fitted = jax.vmap(fit)(states)
                 states = _where_tree(states.count_res > 0, fitted, states)
                 carry = (X, states, keys)
+                fit_event += 1
         return jax.tree.map(lambda *a: jnp.concatenate(a, 0), *ys)
 
     X, U, Xdot, info = _cached_jit(sim, "online_batch", run)(

@@ -243,6 +243,17 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     # posterior immediately via an O(K^2) rank-1 Cholesky append
     # (hyperparameters still refit on the train_every_n_steps schedule)
     continuous_updates: bool = False
+    # opt-in perf knob (0 = off, reference semantics): Adam budget for
+    # refits AFTER the first one.  Hyperparameters already persist across
+    # refits (the reference fits the same torch module every time,
+    # unicycle_move_to_pose.py:312-316 + control_affine_model.py:300), so
+    # later fits start warm and converge in far fewer iterations; the
+    # reference still spends the full training_iter=100 budget on every
+    # fit.  Outcome-gated evidence for reduced warm budgets lives in
+    # records/tpu_round3.jsonl (warm_refit_iters_ab).  Honored by the
+    # segmented batched runners and scan_with_scheduled_fits; the
+    # per-step observe() path always uses the full budget.
+    training_iter_warm: int = 0
 
     # ------------------------------------------------------------ state
 
@@ -491,12 +502,29 @@ class LearnedShiftInvariantDynamics(NamedTuple):
 
         return jax.lax.cond(accept, upd, lambda s: s, new_state)
 
-    def fit_now(self, state: LearnedDynState) -> LearnedDynState:
+    def fit_now(self, state: LearnedDynState,
+                training_iter: Optional[int] = None) -> LearnedDynState:
         """Unconditional refit on the current reservoir + cache refresh."""
         params = self.gp.fit(state.params, state.buf,
-                             training_iter=self.training_iter)
+                             training_iter=(self.training_iter
+                                            if training_iter is None
+                                            else training_iter))
         return state._replace(params=params, data=state.buf,
                               cache=self.gp.refresh_cache(params, state.buf))
+
+    @property
+    def warm_refits_differ(self) -> bool:
+        """True when training_iter_warm is set to a budget different from
+        the full one (the runners then compile a second, shorter fit
+        program for non-first refits)."""
+        return self.training_iter_warm not in (0, self.training_iter)
+
+    def fit_now_warm(self, state: LearnedDynState) -> LearnedDynState:
+        """fit_now at the (reduced) warm-start Adam budget; identical to
+        fit_now when the knob is off."""
+        if not self.warm_refits_differ:
+            return self.fit_now(state)
+        return self.fit_now(state, training_iter=self.training_iter_warm)
 
     def should_fit_at(self, t):
         """The reference's schedule: len(Xtrain) > 0 and

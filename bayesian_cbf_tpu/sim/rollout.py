@@ -134,7 +134,7 @@ def _where_tree(keep, a_tree, b_tree):
 
 def scan_with_scheduled_fits(step_fn, fit_fn, carry, numSteps: int,
                              train_every: int, enable: bool,
-                             state_index: int = 1):
+                             state_index: int = 1, fit_fn_warm=None):
     """Single-episode rollout as ONE scan with the scheduled refit behind
     a scalar `lax.cond` inside the body.
 
@@ -150,6 +150,11 @@ def scan_with_scheduled_fits(step_fn, fit_fn, carry, numSteps: int,
     `run_pendulum_online_batch`) keep the segmented structure.
 
     `carry[state_index]` must be the LearnedDynState (exposes count_res).
+
+    When `fit_fn_warm` is given, the FIRST scheduled fit (t == train_every)
+    runs `fit_fn` and every later one runs `fit_fn_warm` — the
+    warm-started reduced-budget refit knob
+    (LearnedShiftInvariantDynamics.training_iter_warm).
     """
     do_sched = enable and train_every > 0
 
@@ -159,7 +164,13 @@ def scan_with_scheduled_fits(step_fn, fit_fn, carry, numSteps: int,
             st = carry[state_index]
             do_fit = ((t > 0) & (t % train_every == 0)
                       & (st.count_res > 0))
-            st = jax.lax.cond(do_fit, fit_fn, lambda s: s, st)
+            if fit_fn_warm is None:
+                run_fit = fit_fn
+            else:
+                def run_fit(s):
+                    return jax.lax.cond(t == train_every, fit_fn,
+                                        fit_fn_warm, s)
+            st = jax.lax.cond(do_fit, run_fit, lambda s: s, st)
             carry = (carry[:state_index] + (st,)
                      + carry[state_index + 1:])
         return carry, y
@@ -172,7 +183,8 @@ def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
     carry = sim.init_state(x0, key)
     _, (X, U, Xdot, info, knl) = scan_with_scheduled_fits(
         sim.step_no_fit, lrn.fit_now, carry, sim.numSteps,
-        lrn.train_every_n_steps, lrn.enable_learning)
+        lrn.train_every_n_steps, lrn.enable_learning,
+        fit_fn_warm=(lrn.fit_now_warm if lrn.warm_refits_differ else None))
     return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
 
 
@@ -245,14 +257,21 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
                         lrn.enable_learning)
     carry = (x0s, init_states, init_warms)
     ys = []
+    fit_event = 0
     for (s, e, do_fit) in segs:
         carry, y = jax.lax.scan(step, carry, jnp.arange(s, e))
         ys.append(y)
         if do_fit:
             X, states, warms = carry
-            fitted = jax.vmap(lrn.fit_now)(states)
+            # first fit event spends the full Adam budget; later ones are
+            # warm-started (params persist across fits, matching the
+            # reference's reused torch module) and may use the reduced
+            # training_iter_warm budget
+            fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
+            fitted = jax.vmap(fit)(states)
             states = _where_tree(states.count_res > 0, fitted, states)
             carry = (X, states, warms)
+            fit_event += 1
     X, U, Xdot, info, knl = jax.tree.map(
         lambda *a: jnp.concatenate(a, 0), *ys)
     # -> outputs with leading batch dim (B, T, ...)
@@ -264,8 +283,13 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
 
 # UnicycleSim mixes array leaves with static config ints, so it is closed
 # over rather than passed as a traced argument; the jitted episode runner is
-# cached per sim object (same sim -> same executable).
-_SIM_CACHE: dict = {}
+# cached per sim object (same sim -> same executable).  Bounded LRU so a
+# long parameter sweep in one process cannot pin every compiled executable
+# (same rationale as experiments.pendulum._RUN_CACHE).
+from collections import OrderedDict
+
+_SIM_CACHE: "OrderedDict" = OrderedDict()
+_SIM_CACHE_MAX = 8
 
 
 def simulate_unicycle(sim: UnicycleSim, x0, key=None) -> RolloutOutputs:
@@ -276,6 +300,9 @@ def simulate_unicycle(sim: UnicycleSim, x0, key=None) -> RolloutOutputs:
     if entry is None or entry[0] is not sim:
         fn = jax.jit(lambda x0_, key_: _simulate_unicycle(sim, x0_, key_))
         _SIM_CACHE[id(sim)] = (sim, fn)
+        while len(_SIM_CACHE) > _SIM_CACHE_MAX:
+            _SIM_CACHE.popitem(last=False)
     else:
+        _SIM_CACHE.move_to_end(id(sim))
         fn = entry[1]
     return _SIM_CACHE[id(sim)][1](jnp.asarray(x0), key)

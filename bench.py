@@ -38,13 +38,18 @@ def main():
     max_train = int(os.environ.get("BENCH_MAX_TRAIN", "200"))
     train_every = int(os.environ.get("BENCH_TRAIN_EVERY", "400"))
     training_iter = int(os.environ.get("BENCH_TRAINING_ITER", "100"))
+    # 0 (default) = reference semantics: full Adam budget on every refit.
+    # >0 = warm-started refits after the first spend this reduced budget
+    # (outcome-gated, records/tpu_round3.jsonl warm_refit_iters_ab).
+    training_iter_warm = int(os.environ.get("BENCH_TRAINING_ITER_WARM", "0"))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
     sim = make_ackermann_tracking_sim(
         dt=0.001, numSteps=num_steps, true_L=1.0, mean_L=12.0,
         kernel_diag_A=(1.0, 1.0, 1.0), max_risk=0.01,
         enable_learning=True, train_every_n_steps=train_every,
         max_train=max_train, training_iter=training_iter,
-        socp_iters=25, warm_start=warm, socp_iters_warm=15)
+        socp_iters=25, warm_start=warm, socp_iters_warm=15,
+        training_iter_warm=training_iter_warm)
 
     dtype = jnp.float64 if platform == "cpu" else jnp.float32
     x0 = jnp.asarray(STATE_START, dtype)
@@ -102,7 +107,8 @@ def main():
                        max_risk=0.01, enable_learning=True,
                        train_every_n_steps=train_every,
                        max_train=max_train, training_iter=training_iter,
-                       socp_iters=25, warm_start=warm, socp_iters_warm=15)
+                       socp_iters=25, warm_start=warm, socp_iters_warm=15,
+                       training_iter_warm=training_iter_warm)
             cfg.update(kw)
             vsim = mk(**cfg)
             vrun = jax.jit(lambda a, k: _simulate_unicycle_batch(vsim, a, k))
@@ -124,12 +130,16 @@ def main():
         n_fits = max(num_steps // train_every, 1) if train_every < num_steps \
             else 0
         t_refit = max(t_full - t_norefit, 0.0)
+        warm_iters = (training_iter_warm if training_iter_warm > 0
+                      else training_iter)
+        total_adam_iters = (training_iter + max(n_fits - 1, 0) * warm_iters
+                            if n_fits else 0)
         result["phases"] = {
             "rollout_cones_socp_s": round(t_prior, 4),
             "gp_moments_s": round(t_moments, 4),
             "refit_s": round(t_refit, 4),
             "refit_ms_per_adam_iter": (
-                round(t_refit / (n_fits * training_iter) * 1e3, 3)
+                round(t_refit / total_adam_iters * 1e3, 3)
                 if n_fits else None),
         }
         floor_s = moments_bytes / (hbm_gbps * 1e9)
