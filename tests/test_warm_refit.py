@@ -86,6 +86,34 @@ def test_single_runner_budget_dispatch(monkeypatch):
     assert np.all(np.isfinite(np.asarray(out.X)))
 
 
+def test_pendulum_batch_runner_budget_dispatch(monkeypatch):
+    """The pendulum segmented batch runner routes the first fit event to
+    the full budget and later events to training_iter_warm, same as the
+    unicycle batch runner."""
+    from bayesian_cbf_tpu.experiments.pendulum import (
+        make_pendulum_online_sim, run_pendulum_online_batch)
+
+    budgets = []
+    orig = dyn_mod.LearnedShiftInvariantDynamics.fit_now
+
+    def spy(self, state, training_iter=None):
+        budgets.append(self.training_iter if training_iter is None
+                       else training_iter)
+        return orig(self, state, training_iter)
+
+    monkeypatch.setattr(dyn_mod.LearnedShiftInvariantDynamics,
+                        "fit_now", spy)
+    sim = make_pendulum_online_sim(
+        numSteps=30, max_train=12, training_iter=5,
+        train_every_n_steps=10, socp_iters=15, training_iter_warm=2)
+    x0s = jnp.stack([jnp.array([2.0, 0.0]), jnp.array([1.9, 0.1])])
+    X, U, Xdot, info = run_pendulum_online_batch(sim, x0s)
+    # fit events at positive multiples of train_every strictly inside the
+    # episode (fit_segments): steps 10 and 20 -> full budget, then warm
+    assert budgets == [5, 2]
+    assert np.all(np.isfinite(np.asarray(X)))
+
+
 def test_scan_dispatch_first_vs_warm():
     """scan_with_scheduled_fits routes the first scheduled fit to fit_fn
     and later ones to fit_fn_warm (counter state, no GP involved)."""
