@@ -30,14 +30,20 @@ def main():
         unicycle_learning_helps_avoid_getting_stuck,
         unicycle_no_learning_gets_stuck,
         min_obstacle_clearance, goal_distance, realized_cbc_margins)
+    # Warm-refit gating knob: >0 runs the LEARNING experiments with
+    # reduced-budget warm refits (training_iter_warm) so the semantics
+    # change can be outcome-gated on chip before the bench adopts it.
+    warm_iters = int(os.environ.get("OUTCOMES_TRAINING_ITER_WARM", "0"))
+    learn_kw = {"training_iter_warm": warm_iters} if warm_iters else {}
     t0 = time.time()
     res = {}
-    for name, fn in [
-            ("mean_cbf", unicycle_mean_cbf_collides_obstacle),
-            ("bayes_cbf", unicycle_bayes_cbf_safe_obstacle),
-            ("learning", unicycle_learning_helps_avoid_getting_stuck),
-            ("no_learning", unicycle_no_learning_gets_stuck)]:
-        sim, out = fn()
+    for name, fn, kw in [
+            ("mean_cbf", unicycle_mean_cbf_collides_obstacle, {}),
+            ("bayes_cbf", unicycle_bayes_cbf_safe_obstacle, {}),
+            ("learning", unicycle_learning_helps_avoid_getting_stuck,
+             learn_kw),
+            ("no_learning", unicycle_no_learning_gets_stuck, {})]:
+        sim, out = fn(**kw)
         res[name] = {
             "min_clearance": round(float(jnp.min(jnp.asarray(
                 min_obstacle_clearance(sim, out)))), 4),
@@ -79,7 +85,7 @@ def main():
         make_pendulum_online_sim, run_pendulum_online_learning,
         run_pendulum_ground_truth, pendulum_damage_fraction,
         pendulum_wedge_fraction)
-    sim = make_pendulum_online_sim(max_train=200)      # flagship config
+    sim = make_pendulum_online_sim(max_train=200, **learn_kw)  # flagship cfg
     X, U, Xdot, info = run_pendulum_online_learning(sim)
     X = np.asarray(X)
     res["pendulum_online"] = {
