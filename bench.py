@@ -91,6 +91,7 @@ def main():
         "episode_steps": num_steps,
         "max_train": max_train,
         "warm_start": warm,
+        "training_iter_warm": training_iter_warm,
         "wall_s_per_batch": round(dt_run, 4),
     }
 

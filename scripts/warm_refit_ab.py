@@ -40,7 +40,22 @@ def rel_delta(a, b):
     return float(np.max(np.abs(a - b) / (np.abs(b) + 1e-12)))
 
 
+def _wait_for_backend(attempts=10, sleep_s=60):
+    """The tunneled TPU backend intermittently fails to initialize
+    (UNAVAILABLE); retry a few times before giving up so a long A/B queue
+    isn't killed by a transient outage."""
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            print(json.dumps({"backend_retry": i, "err": str(e)[:120]}),
+                  file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+    return jax.devices()  # final attempt raises for real
+
+
 def main():
+    _wait_for_backend()
     from bayesian_cbf_tpu.experiments.unicycle import (
         make_ackermann_tracking_sim, STATE_START,
         unicycle_learning_helps_avoid_getting_stuck,
