@@ -19,9 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _wait_for_backend(attempts=10, sleep_s=60):
+    """Tunneled-TPU init intermittently fails UNAVAILABLE; retry so a
+    transient outage at bench time doesn't lose the round's record."""
+    for _ in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError:
+            time.sleep(sleep_s)
+    return jax.devices()
+
+
 def main():
     # fast path dtype: f32 on accelerators, f64 on CPU fallback
-    platform = jax.devices()[0].platform
+    platform = _wait_for_backend()[0].platform
     if platform == "cpu":
         jax.config.update("jax_enable_x64", True)
 

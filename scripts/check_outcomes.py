@@ -23,7 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _wait_for_backend(attempts=10, sleep_s=60):
+    """Tunneled-TPU init intermittently fails UNAVAILABLE; retry before
+    letting the gate die (same guard as scripts/warm_refit_ab.py)."""
+    for _ in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError:
+            time.sleep(sleep_s)
+    return jax.devices()
+
+
 def main():
+    _wait_for_backend()
     from bayesian_cbf_tpu.experiments.unicycle import (
         unicycle_mean_cbf_collides_obstacle,
         unicycle_bayes_cbf_safe_obstacle,
