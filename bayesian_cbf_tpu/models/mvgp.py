@@ -235,9 +235,11 @@ class MVGP(NamedTuple):
         # flagship rollout (the refit phase measured 70% of bench wall).
         # The MLL consumes the Gram ONLY through (Kb^{-1} Y, logdet Kb),
         # so `solve_and_logdet` computes the pair with one fused custom
-        # VJP: the forward runs the recursive Schur/sweep inversion
-        # kernel on TPU (ops/pallas_sweep.py) and the backward reuses the
-        # explicit inverse — no triangular op anywhere in the fit.
+        # VJP: the forward inverts with the FIT_INVERSE kernel (default
+        # the blocked-Cholesky kernel — the Schur/sweep recursion is
+        # non-finite on these near-singular trajectory Grams in f32,
+        # ops/cholinv.py FIT_INVERSE docstring) and the backward reuses
+        # the explicit inverse.
         m = data.mask.astype(Y.dtype)
         if FUSED_FIT:
             # fused gram+invert: the masked Gram is built in VMEM by the

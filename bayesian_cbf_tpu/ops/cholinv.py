@@ -39,6 +39,24 @@ USE_PALLAS = None
 # working values alone approach the budget — XLA handles those.
 _PALLAS_MAX_N = 512
 
+# Which kernel the batched FIT inversion (kinv_logdet / gramsolve) uses:
+#   "chol"  (default): blocked-Cholesky kernel + Linv^T Linv.  The real
+#           flagship fit Grams are trajectory-correlated and sit at
+#           kappa ~ 1e6 in f32 (relative-nugget floor vs a ~200x diag
+#           spread); Cholesky's trailing updates work on original data
+#           and stay backward-stable there (measured resid ~9e-3).
+#   "sweep": the recursive Schur/sweep kernel (ops/pallas_sweep.py).
+#           ~2x faster per inversion, but its Schur recursion squares
+#           the explicit-inverse error of near-singular leading blocks:
+#           on the SAME real Grams every recursive split produces
+#           non-finite output (negative pivot -> 1/tiny overflow), the
+#           fit's NaN guard then rejects every Adam step, and batched
+#           learning silently dies — the round-3 Monte-Carlo
+#           mean-goal-distance 0.53 -> 2.81 regression
+#           (records/tpu_round3.jsonl, flagship_monte_carlo_1024).
+#           Tests pin the failure: tests/test_fit_inverse.py.
+FIT_INVERSE = "chol"
+
 
 def _ref_fwd(K):
     L = jnp.linalg.cholesky(K)
@@ -125,9 +143,9 @@ def solve_and_logdet(K, Y):
     The marginal-log-likelihood only consumes the Gram through these two
     quantities, so giving the pair ONE custom VJP collapses the fit's
     backward to small matmuls: the forward computes the explicit inverse
-    directly (recursive Schur/sweep Pallas kernel under vmap on TPU f32,
-    `kinv_logdet` — no triangular factor anywhere) and the backward
-    reuses it:
+    with the FIT_INVERSE kernel (default: blocked-Cholesky kernel +
+    Linv^T Linv — robust on the near-singular real fit Grams; see the
+    flag's docstring) and the backward reuses it:
 
         S = K^{-1} Y
         dK = -Kinv dS S^T + dlogdet * Kinv      (all O(k^2 n))
@@ -147,6 +165,22 @@ def _kinv_logdet_ref(K):
     diag = jnp.diagonal(L, axis1=-2, axis2=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(diag, tiny)), axis=-1)
     return Kinv, logdet
+
+
+def batched_kinv_logdet_fit(K3, interpret: bool = False):
+    """(K^{-1}, logdet) for a (B, n, n) batch on the FIT path, routed
+    per FIT_INVERSE (see the flag's docstring for the robustness
+    story).  f32 Pallas kernels on TPU; interpret=True for CPU tests."""
+    if FIT_INVERSE == "chol":
+        from .pallas_chol import batched_chol_with_inv
+        L, Linv = batched_chol_with_inv(K3, interpret=interpret)
+        Kinv = jnp.swapaxes(Linv, -1, -2) @ Linv
+        tiny = jnp.asarray(1e-20, L.dtype)
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(diag, tiny)), axis=-1)
+        return Kinv, logdet
+    from .pallas_sweep import batched_kinv_logdet
+    return batched_kinv_logdet(K3, interpret=interpret)
 
 
 @custom_batching.custom_vmap
@@ -170,11 +204,10 @@ def _kinv_logdet_vmap_rule(axis_size, in_batched, K):
     if not in_batched[0]:
         return _kinv_logdet_ref(K), (False, False)
     if _want_pallas(K) and K.ndim >= 3:
-        from .pallas_sweep import batched_kinv_logdet
         # collapse any nested-vmap leading dims to the kernel's single
         # batch axis, then restore them
         lead = K.shape[:-2]
-        Kinv, logdet = batched_kinv_logdet(
+        Kinv, logdet = batched_kinv_logdet_fit(
             K.reshape((-1,) + K.shape[-2:]))
         out = (Kinv.reshape(lead + Kinv.shape[-2:]),
                logdet.reshape(lead))

@@ -5,8 +5,9 @@ The MLL refit consumes the masked training Gram ONLY through
 logdet`.  This op moves the differentiability boundary UP to the gram
 inputs:
 
-    forward:  build Km and invert it (the recursive Schur/sweep Pallas
-              kernel under vmap on TPU f32; optionally Km is built
+    forward:  build Km and invert it (the FIT_INVERSE Pallas kernel
+              under vmap on TPU f32 — default the blocked-Cholesky
+              kernel, see ops/cholinv.py; optionally Km is built
               inside the kernel's VMEM — see GRAM_IN_KERNEL);
     backward: dKm = -Kinv dS S^T + dlogdet * Kinv (the solve_and_logdet
               rule), chained through `jax.vjp` of the pure-XLA Gram
@@ -100,15 +101,19 @@ def _gram_kinv_logdet_vmap_rule(axis_size, in_batched, *args):
     Xf, UBf, UHf = flat(X), flat(UB), flat(UH)
     ief, nugf, mf = flat(inv_ell), flat(nug), flat(mask)
     if use and X.ndim >= 3:
-        from .pallas_sweep import (pack_gram_inputs,
-                                   batched_gram_kinv_logdet,
-                                   batched_kinv_logdet)
         if GRAM_IN_KERNEL:
+            # opt-in in-kernel gram build; NOTE this path is sweep-only
+            # and inherits the sweep recursion's near-singular fragility
+            # (cholinv.FIT_INVERSE docstring) — keep it off unless the
+            # batch is known well-conditioned
+            from .pallas_sweep import (pack_gram_inputs,
+                                       batched_gram_kinv_logdet)
             packed = pack_gram_inputs(Xf, UBf, UHf, ief, nugf, mf)
             Kinv, ld = batched_gram_kinv_logdet(packed, xd, mh)
         else:
+            from .cholinv import batched_kinv_logdet_fit
             Km = jax.vmap(km_expr)(Xf, UBf, UHf, ief, nugf, mf)
-            Kinv, ld = batched_kinv_logdet(Km.astype(jnp.float32))
+            Kinv, ld = batched_kinv_logdet_fit(Km.astype(jnp.float32))
     else:
         Kinv, ld = _kinv_logdet_ref(
             jax.vmap(km_expr)(Xf, UBf, UHf, ief, nugf, mf))

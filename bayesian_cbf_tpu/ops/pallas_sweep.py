@@ -95,11 +95,11 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _padded_size(n):
-    """Smallest multiple of the size-dependent base >= n.  The recursion
+def _padded_size(n, base=None):
+    """Smallest multiple of the (size-dependent) base >= n.  The recursion
     splits any block count at floor(half) blocks, so no power-of-two
     constraint."""
-    base = _pick_base(n)
+    base = base or _pick_base(n)
     return max(_round_up(n, base), base)
 
 
@@ -200,18 +200,18 @@ def _identity_pad(M, N, n):
         [M, jnp.broadcast_to(tail[None], (CB, N, pad))], axis=2)
 
 
-def _kernel(N, n, k_ref, kinv_ref, ld_ref):
+def _kernel(N, n, base, k_ref, kinv_ref, ld_ref):
     f32 = k_ref.dtype
     tiny = jnp.full((1, 1, 1), 1e-12, f32)
     M = k_ref[:]
     if n < N:
         M = _identity_pad(M, N, n)
-    Kinv, ld = _inv_logdet(M, N, tiny, _pick_base(n))
+    Kinv, ld = _inv_logdet(M, N, tiny, base)
     kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
 
 
-def _fused_kernel(N, n, xd, mh, packed_ref, kinv_ref, ld_ref):
+def _fused_kernel(N, n, xd, mh, base, packed_ref, kinv_ref, ld_ref):
     """Build the masked MVGP fit-Gram in VMEM, then invert it.
 
     packed columns (see pack_gram_inputs): [0:xd] raw X, [xd:xd+mh]
@@ -251,7 +251,7 @@ def _fused_kernel(N, n, xd, mh, packed_ref, kinv_ref, ld_ref):
          + nug * eye * mk + eye * (1.0 - mk))
     if n < N:
         M = _identity_pad(M, N, n)
-    Kinv, ld = _inv_logdet(M, N, tiny, _pick_base(n))
+    Kinv, ld = _inv_logdet(M, N, tiny, base)
     kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
 
@@ -270,20 +270,32 @@ def pack_gram_inputs(X, UB, UH, inv_ell, nug, mask):
     return jnp.concatenate(cols, axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("xd", "mh", "interpret"))
 def batched_gram_kinv_logdet(packed, xd: int, mh: int,
-                             interpret: bool = False):
+                             interpret: bool = False, base: int = 0):
     """Fused masked-Gram build + (K^{-1}, logdet K); f32.
 
     packed: (B, k, 2*xd+2*mh+2) from pack_gram_inputs.  Saves the
     (B, k, k) Gram HBM round-trip the unfused fit pays per Adam
-    iteration (kernel input shrinks ~k/(2(xd+mh)) times)."""
+    iteration (kernel input shrinks ~k/(2(xd+mh)) times).
+
+    `base` (0 = size-dependent default) is resolved HERE, outside jit:
+    the old implementation read the module global at trace time, so an
+    A/B that flipped `BASE` between same-shape calls silently reused
+    the first trace (a measured footgun, round 3)."""
+    base = int(base) if base else _pick_base(packed.shape[-2])
+    return _batched_gram_kinv_logdet_jit(packed, xd, mh, interpret, base)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("xd", "mh", "interpret", "base"))
+def _batched_gram_kinv_logdet_jit(packed, xd: int, mh: int,
+                                  interpret: bool, base: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, n, F = packed.shape
     assert F == 2 * xd + 2 * mh + 2
-    N = _padded_size(n)
+    N = _padded_size(n, base)
     chunk = _auto_chunk(N)
     Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
@@ -297,7 +309,7 @@ def batched_gram_kinv_logdet(packed, xd: int, mh: int,
 
     grid = (Bp // chunk,)
     Kinv, ld = pl.pallas_call(
-        functools.partial(_fused_kernel, N, n, xd, mh),
+        functools.partial(_fused_kernel, N, n, xd, mh, base),
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((Bp, n, n), f32),
                    jax.ShapeDtypeStruct((Bp, 1, 128), f32)),
@@ -315,11 +327,16 @@ def batched_gram_kinv_logdet(packed, xd: int, mh: int,
             ld[:B, 0, 0].astype(packed.dtype))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "chunk", "alias"))
 def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
-                        alias: bool = False):
+                        alias: bool = False, base: int = 0):
     """(K^{-1}, logdet K) for a batch K (B, n, n) of PD matrices; f32.
+
+    WARNING (round-3 regression, tests/test_fit_inverse.py): the Schur
+    recursion is NON-FINITE on near-singular trajectory Grams (kappa
+    ~1e6 f32) whenever it actually splits (base < n).  The FIT path
+    therefore routes through `cholinv.batched_kinv_logdet_fit` (default:
+    blocked-Cholesky kernel); use this kernel only on batches whose
+    conditioning is known-moderate.
 
     chunk=0 picks the default batch chunk per grid cell (see CHUNK:
     larger chunks amortize the sweep loop's per-op overhead; the vmem
@@ -328,12 +345,22 @@ def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
     because every region is read before it is overwritten (see
     inv_logdet's lazy reads) — but saves nothing under scoped-vmem
     accounting (in/out blocks are charged double-buffered even when
-    aliased), so it stays opt-in."""
+    aliased), so it stays opt-in.  base=0 picks the size-dependent
+    default; resolved here OUTSIDE jit (trace-time global reads made
+    same-shape A/Bs silently reuse the first trace)."""
+    base = int(base) if base else _pick_base(K.shape[-1])
+    return _batched_kinv_logdet_jit(K, interpret, chunk, alias, base)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "chunk", "alias", "base"))
+def _batched_kinv_logdet_jit(K, interpret: bool, chunk: int,
+                             alias: bool, base: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, n, _ = K.shape
-    N = _padded_size(n)
+    N = _padded_size(n, base)
     if chunk == 0:
         chunk = _auto_chunk(N)
     Bp = max(_round_up(B, chunk), chunk)
@@ -347,7 +374,7 @@ def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
 
     grid = (Bp // chunk,)
     Kinv, ld = pl.pallas_call(
-        functools.partial(_kernel, N, n),
+        functools.partial(_kernel, N, n, base),
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((Bp, n, n), f32),
                    jax.ShapeDtypeStruct((Bp, 1, 128), f32)),

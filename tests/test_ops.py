@@ -186,14 +186,13 @@ def test_kinv_logdet_nested_vmap_collapses_batch_dims(monkeypatch):
     from bayesian_cbf_tpu.ops import cholinv
     seen = {}
 
-    def fake_kernel(K):
+    def fake_kernel(K, interpret=False):
         seen["shape"] = K.shape
         assert K.ndim == 3, K.shape
         return cholinv._kinv_logdet_ref(K)
 
     monkeypatch.setattr(cholinv, "USE_PALLAS", True)
-    import bayesian_cbf_tpu.ops.pallas_sweep as ps
-    monkeypatch.setattr(ps, "batched_kinv_logdet", fake_kernel)
+    monkeypatch.setattr(cholinv, "batched_kinv_logdet_fit", fake_kernel)
     rng = np.random.default_rng(0)
     n = 7
     A = rng.normal(size=(2, 3, n, n))
