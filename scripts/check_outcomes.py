@@ -91,6 +91,47 @@ def main():
         "no_learning_stuck": res["no_learning"]["goal_dist"] > 2.5,
     }
 
+    # --- BATCHED learning outcomes (the Pallas kernel fit path) ---
+    # The single-episode runs above are unbatched => XLA fit path; the
+    # flagship MC/bench run the vmapped kernel path, which the round-3
+    # sweep-fit regression silently killed (records:
+    # fit_inverse_regression_root_cause) while every verdict above
+    # stayed green.  A small perturbed-start batch through the real
+    # batched runner gates that path on goal progress too.
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        make_ackermann_tracking_sim, STATE_START, STATE_GOAL)
+    from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle_batch
+    bsim = make_ackermann_tracking_sim(
+        max_risk=0.01, enable_learning=True, train_every_n_steps=400,
+        true_L=1.0, mean_L=12.0, kernel_diag_A=(1.0, 1.0, 1.0),
+        **learn_kw)
+    Bb = 32
+    x0 = jnp.asarray(STATE_START, jnp.float32)
+    x0s = x0[None, :] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (Bb, 3), jnp.float32)
+    bkeys = jax.random.split(jax.random.PRNGKey(1), Bb)
+    bout = jax.jit(lambda a, k: _simulate_unicycle_batch(bsim, a, k))(
+        x0s, bkeys)
+    from bayesian_cbf_tpu.parallel.mesh import rollout_safety_stats
+    centers = jnp.stack([c.center for c in bsim.cbfs])
+    radii = jnp.stack([jnp.asarray(c.radius) for c in bsim.cbfs])
+    stats = rollout_safety_stats(bout, centers, radii,
+                                 jnp.asarray(STATE_GOAL))
+    gd = jnp.linalg.norm(bout.X[:, -1, :2]
+                         - jnp.asarray(STATE_GOAL)[:2], axis=-1)
+    res["batched_learning"] = {
+        "B": Bb,
+        "mean_goal_dist": round(float(stats["mean_goal_distance"]), 4),
+        "frac_goal_lt_1": round(float(jnp.mean(gd < 1.0)), 4),
+        "min_clearance": round(float(stats["min_clearance"]), 4),
+        "finite": bool(jnp.all(jnp.isfinite(bout.X))),
+    }
+    verdicts["batched_learning_passes"] = (
+        res["batched_learning"]["mean_goal_dist"] < 1.5
+        and res["batched_learning"]["frac_goal_lt_1"] > 0.7
+        and res["batched_learning"]["min_clearance"] > 0
+        and res["batched_learning"]["finite"])
+
     # --- pendulum outcomes (round-3 directive 7: the rel-deg-2 stack) ---
     import math
     from bayesian_cbf_tpu.experiments.pendulum import (
