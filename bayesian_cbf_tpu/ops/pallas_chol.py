@@ -78,10 +78,9 @@ def _factor_block(D, tiny):
     return M * tril[None], X
 
 
-def _chol_kernel(nblocks, k_ref, l_ref, dinv_ref):
+def _chol_kernel(nblocks, nb, k_ref, l_ref, dinv_ref):
     """Grid cell: factor a (CB, N, N) chunk; write L and the (CB, N, nb)
     stack of diagonal-block inverses."""
-    nb = NB_BLK
     f32 = k_ref.dtype
     tiny = jnp.full((1, 1, 1), 1e-12, f32)
     W = k_ref[:]                                              # (CB, N, N)
@@ -108,16 +107,27 @@ def _chol_kernel(nblocks, k_ref, l_ref, dinv_ref):
             W = W[:, nb:, nb:] - bmm(Lp, Lp, transpose_b=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def batched_chol_with_inv(K, interpret: bool = False):
+def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0):
     """(L, Linv) for a batch K (B, n, n) of PSD matrices via the Pallas
     factorization kernel; f32.  Returns exactly lower-triangular factors.
-    """
+
+    nb=0 picks NB_BLK.  The serial per-column factor loop's VPU cost
+    scales with the (CB, nb, nb) SUBLANE footprint while the column
+    count stays ~n, so smaller blocks cut the serial phase near-linearly
+    at the price of more (and lane-padded, below 128) block matmuls in
+    the trailing updates and the Linv assembly.  Resolved here OUTSIDE
+    jit (trace-time global reads made same-shape A/Bs reuse the first
+    trace — the round-3 sweep-base confound)."""
+    nb = int(nb) if nb else NB_BLK
+    return _batched_chol_with_inv_jit(K, interpret, nb)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nb"))
+def _batched_chol_with_inv_jit(K, interpret: bool, nb: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, n, _ = K.shape
-    nb = NB_BLK
     N = max(_round_up(n, nb), nb)
     nblocks = N // nb
     # chunk shrinks with N so the in/L/Dinv double-buffered blocks stay
@@ -134,7 +144,7 @@ def batched_chol_with_inv(K, interpret: bool = False):
 
     grid = (Bp // chunk,)
     L, Dinv = pl.pallas_call(
-        functools.partial(_chol_kernel, nblocks),
+        functools.partial(_chol_kernel, nblocks, nb),
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((Bp, N, N), f32),
                    jax.ShapeDtypeStruct((Bp, N, nb), f32)),
