@@ -167,13 +167,20 @@ def _kinv_logdet_ref(K):
     return Kinv, logdet
 
 
+# factorization block for the fit-path Cholesky kernel (0 = the
+# kernel's NB_BLK default); exposed for on-chip tuning — smaller blocks
+# cut the serial factor loop's sublane footprint
+FIT_CHOL_NB = 0
+
+
 def batched_kinv_logdet_fit(K3, interpret: bool = False):
     """(K^{-1}, logdet) for a (B, n, n) batch on the FIT path, routed
     per FIT_INVERSE (see the flag's docstring for the robustness
     story).  f32 Pallas kernels on TPU; interpret=True for CPU tests."""
     if FIT_INVERSE == "chol":
         from .pallas_chol import batched_chol_with_inv
-        L, Linv = batched_chol_with_inv(K3, interpret=interpret)
+        L, Linv = batched_chol_with_inv(K3, interpret=interpret,
+                                        nb=FIT_CHOL_NB)
         Kinv = jnp.swapaxes(Linv, -1, -2) @ Linv
         tiny = jnp.asarray(1e-20, L.dtype)
         diag = jnp.diagonal(L, axis1=-2, axis2=-1)
