@@ -167,10 +167,12 @@ def _kinv_logdet_ref(K):
     return Kinv, logdet
 
 
-# factorization block for the fit-path Cholesky kernel (0 = the
-# kernel's NB_BLK default); exposed for on-chip tuning — smaller blocks
-# cut the serial factor loop's sublane footprint
+# factorization block / batch chunk for the fit-path Cholesky kernel
+# (0 = the kernel defaults); exposed for on-chip tuning — smaller
+# blocks cut the serial factor loop's sublane footprint, larger chunks
+# amortize its per-op overhead (the sweep-kernel lessons)
 FIT_CHOL_NB = 0
+FIT_CHOL_CHUNK = 0
 
 
 def batched_kinv_logdet_fit(K3, interpret: bool = False):
@@ -180,7 +182,8 @@ def batched_kinv_logdet_fit(K3, interpret: bool = False):
     if FIT_INVERSE == "chol":
         from .pallas_chol import batched_chol_with_inv
         L, Linv = batched_chol_with_inv(K3, interpret=interpret,
-                                        nb=FIT_CHOL_NB)
+                                        nb=FIT_CHOL_NB,
+                                        chunk=FIT_CHOL_CHUNK)
         Kinv = jnp.swapaxes(Linv, -1, -2) @ Linv
         tiny = jnp.asarray(1e-20, L.dtype)
         diag = jnp.diagonal(L, axis1=-2, axis2=-1)

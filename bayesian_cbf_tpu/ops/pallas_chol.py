@@ -107,11 +107,13 @@ def _chol_kernel(nblocks, nb, k_ref, l_ref, dinv_ref):
             W = W[:, nb:, nb:] - bmm(Lp, Lp, transpose_b=True)
 
 
-def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0):
+def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0,
+                          chunk: int = 0):
     """(L, Linv) for a batch K (B, n, n) of PSD matrices via the Pallas
     factorization kernel; f32.  Returns exactly lower-triangular factors.
 
-    nb=0 picks NB_BLK.  The serial per-column factor loop's VPU cost
+    nb=0 picks NB_BLK; chunk=0 picks CHUNK (both still clamped by the
+    VMEM budget).  The serial per-column factor loop's VPU cost
     scales with the (CB, nb, nb) SUBLANE footprint while the column
     count stays ~n, so smaller blocks cut the serial phase near-linearly
     at the price of more (and lane-padded, below 128) block matmuls in
@@ -119,11 +121,11 @@ def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0):
     jit (trace-time global reads made same-shape A/Bs reuse the first
     trace — the round-3 sweep-base confound)."""
     nb = int(nb) if nb else NB_BLK
-    return _batched_chol_with_inv_jit(K, interpret, nb)
+    return _batched_chol_with_inv_jit(K, interpret, nb, int(chunk))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "nb"))
-def _batched_chol_with_inv_jit(K, interpret: bool, nb: int):
+@functools.partial(jax.jit, static_argnames=("interpret", "nb", "chunk"))
+def _batched_chol_with_inv_jit(K, interpret: bool, nb: int, chunk: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -134,7 +136,8 @@ def _batched_chol_with_inv_jit(K, interpret: bool, nb: int):
     # inside the raised scoped-vmem budget (extends coverage to n=512;
     # the old failure there was the default 16M budget)
     from .pallas_sweep import _auto_chunk, VMEM_LIMIT
-    chunk = min(CHUNK, _auto_chunk(N, extra_bytes_per_elem=4 * N * nb))
+    chunk = min(chunk or CHUNK,
+                _auto_chunk(N, extra_bytes_per_elem=4 * N * nb))
     Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
 

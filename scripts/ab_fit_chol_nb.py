@@ -75,15 +75,20 @@ def main():
         print(json.dumps(rec), flush=True)
         return rec
 
+    chunks = [int(x) for x in
+              os.environ.get("AB_CHOL_CHUNKS", "0").split(",")]
     results = []
     for nb in nbs:
-        cholinv.FIT_INVERSE = "chol"
-        cholinv.FIT_CHOL_NB = nb
-        results.append(run_variant("chol_nb%d" % nb))
+        for ck in chunks:
+            cholinv.FIT_INVERSE = "chol"
+            cholinv.FIT_CHOL_NB = nb
+            cholinv.FIT_CHOL_CHUNK = ck
+            results.append(run_variant("chol_nb%d_chunk%d" % (nb, ck)))
     cholinv.FIT_INVERSE = "sweep"
     results.append(run_variant("sweep_reference_timing_only"))
     cholinv.FIT_INVERSE = "chol"
     cholinv.FIT_CHOL_NB = 0
+    cholinv.FIT_CHOL_CHUNK = 0
     print(json.dumps({"item": "fit_chol_nb_ab", "results": results}))
 
 
