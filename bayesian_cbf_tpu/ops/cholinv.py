@@ -178,7 +178,12 @@ FIT_CHOL_CHUNK = 0
 def batched_kinv_logdet_fit(K3, interpret: bool = False):
     """(K^{-1}, logdet) for a (B, n, n) batch on the FIT path, routed
     per FIT_INVERSE (see the flag's docstring for the robustness
-    story).  f32 Pallas kernels on TPU; interpret=True for CPU tests."""
+    story).  f32 Pallas kernels on TPU; interpret=True for CPU tests.
+    FIT_INVERSE="xla" bypasses Pallas entirely (batched XLA
+    cholesky+triangular_solve — the known-good latency-bound fallback,
+    resid 5.7e-3 on the real flagship Gram)."""
+    if FIT_INVERSE == "xla":
+        return _kinv_logdet_ref(K3)
     if FIT_INVERSE == "chol":
         from .pallas_chol import batched_chol_with_inv
         L, Linv = batched_chol_with_inv(K3, interpret=interpret,
