@@ -195,6 +195,16 @@ def batched_kinv_logdet_fit(K3, interpret: bool = False):
         logdet = 2.0 * jnp.sum(jnp.log(jnp.maximum(diag, tiny)), axis=-1)
         return Kinv, logdet
     from .pallas_sweep import batched_kinv_logdet
+    if FIT_INVERSE == "sweep_full":
+        # NON-recursive full-width sweep: one sweep block, no Schur
+        # split.  Unlike the recursive path it stays finite on the real
+        # trajectory-correlated fit Grams (resid ~1.1e-2, records
+        # sweep_full_probe) because no near-singular leading block gets
+        # explicitly inverted; kept as an opt-in until its wall beats
+        # the chol kernel in-program.
+        n = K3.shape[-1]
+        full = max(256, -(-n // 256) * 256)
+        return batched_kinv_logdet(K3, interpret=interpret, base=full)
     return batched_kinv_logdet(K3, interpret=interpret)
 
 

@@ -24,7 +24,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NB_BLK = 128      # factorization block (= MXU/lane width)
+NB_BLK = 32       # factorization block.  On-chip fused-fit A/B at the
+                  # flagship shape (B=256, k=200): nb=32 9.7 ms/Adam-iter
+                  # vs nb=64 12.0 vs nb=128 12.2 (records fit_chol_nb_ab)
+                  # — the serial in-block pivot loop's VPU cost scales
+                  # with the block's SUBLANE footprint (the sweep-kernel
+                  # lesson), so smaller blocks win until the blocked
+                  # trailing updates dominate.  CPU-interpret resid on
+                  # the real trajectory Gram: 4.0e-3 (nb=32).
 CHUNK = 8         # max batch elements factored together per grid cell
 
 

@@ -84,6 +84,8 @@ def main():
             cholinv.FIT_CHOL_NB = nb
             cholinv.FIT_CHOL_CHUNK = ck
             results.append(run_variant("chol_nb%d_chunk%d" % (nb, ck)))
+    cholinv.FIT_INVERSE = "sweep_full"
+    results.append(run_variant("sweep_full"))
     cholinv.FIT_INVERSE = "sweep"
     results.append(run_variant("sweep_reference_timing_only"))
     cholinv.FIT_INVERSE = "chol"

@@ -112,3 +112,26 @@ def test_fused_f32_fit_moves_hyperparameters_on_trajectory_data():
     moved = np.max(np.abs(np.asarray(out.lengthscale[0])
                           - np.asarray(params.lengthscale)))
     assert moved > 1e-4, "fit never moved a hyperparameter"
+
+
+def test_sweep_full_is_finite_but_opt_in():
+    """The NON-recursive full-width sweep (FIT_INVERSE='sweep_full')
+    stays finite on the trajectory Gram — no Schur split means no
+    explicit inverse of a near-singular leading block — but measured
+    2x slower than the chol kernel in-program (records fit_chol_nb_ab:
+    20.3 vs 9.7 ms/Adam-iter), so it stays opt-in."""
+    Km = _trajectory_gram()
+    M64 = Km.astype(np.float64)
+    old = cholinv.FIT_INVERSE
+    try:
+        cholinv.FIT_INVERSE = "sweep_full"
+        Kinv, ld = cholinv.batched_kinv_logdet_fit(
+            jnp.asarray(Km)[None], interpret=True)
+    finally:
+        cholinv.FIT_INVERSE = old
+    Kinv = np.asarray(Kinv[0], np.float64)
+    assert np.all(np.isfinite(Kinv))
+    resid = np.max(np.abs(Kinv @ M64 - np.eye(Km.shape[0])))
+    assert resid < 5e-2, resid
+    sign, logdet64 = np.linalg.slogdet(M64)
+    assert abs(float(ld[0]) - logdet64) < 0.5
