@@ -49,10 +49,15 @@ def main():
     max_train = int(os.environ.get("BENCH_MAX_TRAIN", "200"))
     train_every = int(os.environ.get("BENCH_TRAIN_EVERY", "400"))
     training_iter = int(os.environ.get("BENCH_TRAINING_ITER", "100"))
-    # 0 (default) = reference semantics: full Adam budget on every refit.
-    # >0 = warm-started refits after the first spend this reduced budget
-    # (outcome-gated, records/tpu_round3.jsonl warm_refit_iters_ab).
-    training_iter_warm = int(os.environ.get("BENCH_TRAINING_ITER_WARM", "0"))
+    # Warm-started refits: the first fit spends the full training_iter
+    # budget; subsequent scheduled refits resume from the already-fitted
+    # hyperparameters with this reduced Adam budget.  Default 10 is
+    # outcome-gated on chip (records/tpu_round3.jsonl warm_refit_iters_ab:
+    # goal/clearance/pendulum-damage verdicts identical to the full budget
+    # at warm in {10, 25}); set BENCH_TRAINING_ITER_WARM=0 for the
+    # reference's full-budget-every-refit semantics (129.0k steps/s vs
+    # 308.5k, same record).
+    training_iter_warm = int(os.environ.get("BENCH_TRAINING_ITER_WARM", "10"))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
     sim = make_ackermann_tracking_sim(
         dt=0.001, numSteps=num_steps, true_L=1.0, mean_L=12.0,
