@@ -99,10 +99,13 @@ def serving_latency():
 
 def flagship_mc(n=1024):
     from bayesian_cbf_tpu.experiments.montecarlo import monte_carlo_unicycle
+    from bayesian_cbf_tpu.ops import cholinv, pallas_chol
+    warm = int(os.environ.get("MC_TRAINING_ITER_WARM", "10"))
     t0 = time.time()
     sim, outs, stats = monte_carlo_unicycle(
         n_rollouts=n, numSteps=2000, dt=0.001, max_train=200,
-        training_iter=100, train_every_n_steps=400, socp_iters=25,
+        training_iter=100, training_iter_warm=warm,
+        train_every_n_steps=400, socp_iters=25,
         warm_start=True, socp_iters_warm=15,
         true_L=1.0, mean_L=12.0, kernel_diag_A=(1.0, 1.0, 1.0),
         max_risk=0.01)
@@ -112,6 +115,8 @@ def flagship_mc(n=1024):
     run_wall = wall
     feas = float(np.mean(np.asarray(outs.info.feasible)))
     emit({"item": "flagship_monte_carlo_%d" % n,
+          "fit_inverse": cholinv.FIT_INVERSE, "nb_blk": pallas_chol.NB_BLK,
+          "training_iter_warm": warm,
           "episodes": n, "steps": 2000, "dt": 0.001, "max_train": 200,
           "collision_fraction": float(stats["collision_fraction"]),
           "mean_goal_distance": float(stats["mean_goal_distance"]),
