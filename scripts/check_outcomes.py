@@ -47,6 +47,12 @@ def main():
     # change can be outcome-gated on chip before the bench adopts it.
     warm_iters = int(os.environ.get("OUTCOMES_TRAINING_ITER_WARM", "0"))
     learn_kw = {"training_iter_warm": warm_iters} if warm_iters else {}
+    # First-fit gating knob: >0 runs the LEARNING experiments with a
+    # reduced FIRST-fit Adam budget (training_iter) — same adoption
+    # protocol as the warm knob (records first_fit_iters_ab).
+    first_iters = int(os.environ.get("OUTCOMES_TRAINING_ITER", "0"))
+    if first_iters:
+        learn_kw["training_iter"] = first_iters
     t0 = time.time()
     res = {}
     for name, fn, kw in [
