@@ -173,6 +173,7 @@ def _kinv_logdet_ref(K):
 # amortize its per-op overhead (the sweep-kernel lessons)
 FIT_CHOL_NB = 0
 FIT_CHOL_CHUNK = 0
+FIT_CHOL_ASSEMBLY = ""   # "" = kernel default (row); "col" = legacy A/B
 
 
 def batched_kinv_logdet_fit(K3, interpret: bool = False):
@@ -188,7 +189,8 @@ def batched_kinv_logdet_fit(K3, interpret: bool = False):
         from .pallas_chol import batched_chol_with_inv
         L, Linv = batched_chol_with_inv(K3, interpret=interpret,
                                         nb=FIT_CHOL_NB,
-                                        chunk=FIT_CHOL_CHUNK)
+                                        chunk=FIT_CHOL_CHUNK,
+                                        assembly=FIT_CHOL_ASSEMBLY)
         Kinv = jnp.swapaxes(Linv, -1, -2) @ Linv
         tiny = jnp.asarray(1e-20, L.dtype)
         diag = jnp.diagonal(L, axis1=-2, axis2=-1)

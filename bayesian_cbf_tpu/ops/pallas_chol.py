@@ -24,6 +24,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Linv assembly form: "row" builds block row r with TWO large batched
+# matmuls (Linv[r, :r] = -Dinv_r @ (L[r, :r] @ Linv[:r, :r]) — valid
+# because Linv[k, j] = 0 above the diagonal, so summing k over the FULL
+# 0..r-1 range equals the triangular-substitution range j..r-1); "col"
+# is the legacy per-(r, j) block substitution whose inner accumulation
+# emits O(nblocks^2) lane-padded (B, nb, nb) matmuls (~56 dispatches at
+# n=224/nb=32) — the latency sink the row form removes.  Same math,
+# different association; numerics-gated like any fit-path change.
+LINV_ASSEMBLY = "row"
+
 NB_BLK = 32       # factorization block.  On-chip fused-fit A/B at the
                   # flagship shape (B=256, k=200): nb=32 9.7 ms/Adam-iter
                   # vs nb=64 12.0 vs nb=128 12.2 (records fit_chol_nb_ab)
@@ -115,7 +125,7 @@ def _chol_kernel(nblocks, nb, k_ref, l_ref, dinv_ref):
 
 
 def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0,
-                          chunk: int = 0):
+                          chunk: int = 0, assembly: str = ""):
     """(L, Linv) for a batch K (B, n, n) of PSD matrices via the Pallas
     factorization kernel; f32.  Returns exactly lower-triangular factors.
 
@@ -128,11 +138,15 @@ def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0,
     jit (trace-time global reads made same-shape A/Bs reuse the first
     trace — the round-3 sweep-base confound)."""
     nb = int(nb) if nb else NB_BLK
-    return _batched_chol_with_inv_jit(K, interpret, nb, int(chunk))
+    assembly = assembly or LINV_ASSEMBLY
+    return _batched_chol_with_inv_jit(K, interpret, nb, int(chunk),
+                                      assembly)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "nb", "chunk"))
-def _batched_chol_with_inv_jit(K, interpret: bool, nb: int, chunk: int):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "nb", "chunk", "assembly"))
+def _batched_chol_with_inv_jit(K, interpret: bool, nb: int, chunk: int,
+                               assembly: str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -169,22 +183,39 @@ def _batched_chol_with_inv_jit(K, interpret: bool, nb: int, chunk: int):
         interpret=interpret,
     )(Kp)
 
-    # assemble Linv from block inverses (forward block substitution:
-    # Linv[r, j] = -Dinv_r (sum_{k=j}^{r-1} L[r, k] Linv[k, j]))
-    blocks = [[None] * nblocks for _ in range(nblocks)]
-    for j in range(nblocks):
-        blocks[j][j] = Dinv[:, j * nb:(j + 1) * nb, :]
-    for r in range(nblocks):
-        for j in range(r - 1, -1, -1):
-            acc = 0.0
-            for k in range(j, r):
-                acc = acc + L[:, r * nb:(r + 1) * nb,
-                              k * nb:(k + 1) * nb] @ blocks[k][j]
-            blocks[r][j] = -(blocks[r][r] @ acc)
-    zero = jnp.zeros((Bp, nb, nb), f32)
-    Linv = jnp.concatenate(
-        [jnp.concatenate([blocks[r][j] if j <= r else zero
-                          for j in range(nblocks)], axis=2)
-         for r in range(nblocks)], axis=1)
+    if assembly == "row" and nblocks > 1:
+        # row form: two LARGE batched matmuls per block row.  Because
+        # Linv[k, j] = 0 for k < j, summing k over the full 0..r-1
+        # range reproduces the triangular substitution exactly:
+        #   Linv[r, :r] = -Dinv_r @ (L[r, :r·nb] @ Linv[:r·nb, :r·nb])
+        # nblocks-1 serial steps of MXU-shaped work replace the legacy
+        # O(nblocks^2) lane-padded (B, nb, nb) dispatch storm.
+        top = Dinv[:, :nb, :]                                 # (Bp, nb, nb)
+        for r in range(1, nblocks):
+            o = r * nb
+            Lrow = L[:, o:o + nb, :o]                         # (Bp, nb, o)
+            new = -(Dinv[:, o:o + nb, :] @ (Lrow @ top))      # (Bp, nb, o)
+            top = jnp.concatenate([
+                jnp.concatenate([top, jnp.zeros((Bp, o, nb), f32)], 2),
+                jnp.concatenate([new, Dinv[:, o:o + nb, :]], 2)], 1)
+        Linv = top
+    else:
+        # legacy column form (per-(r, j) block substitution) — kept for
+        # on-chip A/B of the assembly rewrite
+        blocks = [[None] * nblocks for _ in range(nblocks)]
+        for j in range(nblocks):
+            blocks[j][j] = Dinv[:, j * nb:(j + 1) * nb, :]
+        for r in range(nblocks):
+            for j in range(r - 1, -1, -1):
+                acc = 0.0
+                for k in range(j, r):
+                    acc = acc + L[:, r * nb:(r + 1) * nb,
+                                  k * nb:(k + 1) * nb] @ blocks[k][j]
+                blocks[r][j] = -(blocks[r][r] @ acc)
+        zero = jnp.zeros((Bp, nb, nb), f32)
+        Linv = jnp.concatenate(
+            [jnp.concatenate([blocks[r][j] if j <= r else zero
+                              for j in range(nblocks)], axis=2)
+             for r in range(nblocks)], axis=1)
     return (L[:B, :n, :n].astype(K.dtype),
             Linv[:B, :n, :n].astype(K.dtype))

@@ -77,17 +77,25 @@ def main():
 
     chunks = [int(x) for x in
               os.environ.get("AB_CHOL_CHUNKS", "0").split(",")]
+    asms = os.environ.get("AB_CHOL_ASM", "").split(",") \
+        if os.environ.get("AB_CHOL_ASM") else [""]
     results = []
     for nb in nbs:
         for ck in chunks:
-            cholinv.FIT_INVERSE = "chol"
-            cholinv.FIT_CHOL_NB = nb
-            cholinv.FIT_CHOL_CHUNK = ck
-            results.append(run_variant("chol_nb%d_chunk%d" % (nb, ck)))
-    cholinv.FIT_INVERSE = "sweep_full"
-    results.append(run_variant("sweep_full"))
-    cholinv.FIT_INVERSE = "sweep"
-    results.append(run_variant("sweep_reference_timing_only"))
+            for asm in asms:
+                cholinv.FIT_INVERSE = "chol"
+                cholinv.FIT_CHOL_NB = nb
+                cholinv.FIT_CHOL_CHUNK = ck
+                cholinv.FIT_CHOL_ASSEMBLY = asm
+                results.append(run_variant(
+                    "chol_nb%d_chunk%d%s" % (nb, ck,
+                                             ("_" + asm) if asm else "")))
+    cholinv.FIT_CHOL_ASSEMBLY = ""
+    if not os.environ.get("AB_SKIP_SWEEP"):
+        cholinv.FIT_INVERSE = "sweep_full"
+        results.append(run_variant("sweep_full"))
+        cholinv.FIT_INVERSE = "sweep"
+        results.append(run_variant("sweep_reference_timing_only"))
     cholinv.FIT_INVERSE = "chol"
     cholinv.FIT_CHOL_NB = 0
     cholinv.FIT_CHOL_CHUNK = 0
