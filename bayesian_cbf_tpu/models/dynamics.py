@@ -254,6 +254,14 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     # segmented batched runners and scan_with_scheduled_fits; the
     # per-step observe() path always uses the full budget.
     training_iter_warm: int = 0
+    # opt-in perf knob (False = off, reference semantics): initialize the
+    # FIRST fit's hyperparameters from buffer statistics
+    # (MVGP.heuristic_init — ridge mean, residual-variance scales, std
+    # lengthscales) instead of the unit cold start, so a reduced first-fit
+    # Adam budget starts near the optimum.  Honored by the segmented
+    # batched runners and scan_with_scheduled_fits (fit_now_first); the
+    # per-step observe() path always cold-starts.
+    first_fit_data_init: bool = False
 
     # ------------------------------------------------------------ state
 
@@ -511,6 +519,23 @@ class LearnedShiftInvariantDynamics(NamedTuple):
                                             else training_iter))
         return state._replace(params=params, data=state.buf,
                               cache=self.gp.refresh_cache(params, state.buf))
+
+    def fit_now_first(self, state: LearnedDynState) -> LearnedDynState:
+        """fit_now for the FIRST scheduled fit: applies the data-driven
+        hyperparameter init (heuristic_init) when first_fit_data_init is
+        set; identical to fit_now when the knob is off."""
+        if not self.first_fit_data_init:
+            return self.fit_now(state)
+        params = self.gp.heuristic_init(state.params, state.buf)
+        return self.fit_now(state._replace(params=params))
+
+    @property
+    def first_fit_differs(self) -> bool:
+        """True when the first scheduled fit runs a different program from
+        later ones (reduced warm budget and/or data-driven init) — the
+        runners then compile two fit programs and dispatch on the event
+        index."""
+        return self.warm_refits_differ or self.first_fit_data_init
 
     @property
     def warm_refits_differ(self) -> bool:
