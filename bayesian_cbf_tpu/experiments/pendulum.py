@@ -94,7 +94,8 @@ def make_pendulum_online_sim(
         train_every_n_steps=10, max_unsafe_prob=0.01,
         k_alpha=(1.0, 3.0), ctrl_range=(-15.0, 15.0),
         egreedy_scheme=(1.0, 0.01), socp_iters=25,
-        training_iter_warm=0, first_fit_data_init=False):
+        training_iter_warm=0, first_fit_data_init=False,
+        fit_schedule="multistep"):
     """run_pendulum_control_online_learning configuration
     (pendulum.py:1041-1048; max_train reduced from 200 for CI speed —
     pass max_train=200 for the full config)."""
@@ -105,7 +106,8 @@ def make_pendulum_online_sim(
         max_train=max_train, training_iter=training_iter,
         shift_invariant=False, train_every_n_steps=train_every_n_steps,
         enable_learning=True, dt=dt, training_iter_warm=training_iter_warm,
-        first_fit_data_init=first_fit_data_init)
+        first_fit_data_init=first_fit_data_init,
+        fit_schedule=fit_schedule)
     controller = LearnedSOCPControllerConfig(
         u_dim=1, x_dim=2, ctrl_reg=1.0, clf_relax_weight=100.0,
         max_unsafe_prob=max_unsafe_prob, k_alpha=k_alpha,

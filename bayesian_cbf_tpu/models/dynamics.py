@@ -262,6 +262,10 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     # batched runners and scan_with_scheduled_fits (fit_now_first); the
     # per-step observe() path always cold-starts.
     first_fit_data_init: bool = False
+    # Adam LR schedule for every fit: "multistep" (reference semantics,
+    # MultiStepLR milestones) or "cosine" (2*lr cosine decay — the
+    # reduced-first-budget alternative; gated in records fit_schedule_ab)
+    fit_schedule: str = "multistep"
 
     # ------------------------------------------------------------ state
 
@@ -516,7 +520,8 @@ class LearnedShiftInvariantDynamics(NamedTuple):
         params = self.gp.fit(state.params, state.buf,
                              training_iter=(self.training_iter
                                             if training_iter is None
-                                            else training_iter))
+                                            else training_iter),
+                             schedule=self.fit_schedule)
         return state._replace(params=params, data=state.buf,
                               cache=self.gp.refresh_cache(params, state.buf))
 
