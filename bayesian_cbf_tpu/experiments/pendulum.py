@@ -94,8 +94,7 @@ def make_pendulum_online_sim(
         train_every_n_steps=10, max_unsafe_prob=0.01,
         k_alpha=(1.0, 3.0), ctrl_range=(-15.0, 15.0),
         egreedy_scheme=(1.0, 0.01), socp_iters=25,
-        training_iter_warm=0, first_fit_data_init=False,
-        fit_schedule="multistep"):
+        training_iter_warm=0):
     """run_pendulum_control_online_learning configuration
     (pendulum.py:1041-1048; max_train reduced from 200 for CI speed —
     pass max_train=200 for the full config)."""
@@ -105,9 +104,8 @@ def make_pendulum_online_sim(
         mean_dynamics=ZeroDynamics(state_size=2, ctrl_size=1),
         max_train=max_train, training_iter=training_iter,
         shift_invariant=False, train_every_n_steps=train_every_n_steps,
-        enable_learning=True, dt=dt, training_iter_warm=training_iter_warm,
-        first_fit_data_init=first_fit_data_init,
-        fit_schedule=fit_schedule)
+        enable_learning=True, dt=dt,
+        training_iter_warm=training_iter_warm)
     controller = LearnedSOCPControllerConfig(
         u_dim=1, x_dim=2, ctrl_reg=1.0, clf_relax_weight=100.0,
         max_unsafe_prob=max_unsafe_prob, k_alpha=k_alpha,
@@ -166,7 +164,7 @@ def run_pendulum_online_learning(sim: PendulumOnlineSim,
         # 25-segment flagship program took minutes to compile
         lrn = sim.learned
         _, ys = scan_with_scheduled_fits(
-            sim.step_no_fit, lrn.fit_now_first, (x0, dyn_state, ks),
+            sim.step_no_fit, lrn.fit_now, (x0, dyn_state, ks),
             sim.numSteps, lrn.train_every_n_steps,
             lrn.enable_learning,
             fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs
@@ -226,7 +224,7 @@ def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
             ys.append(y)
             if do_fit:
                 X, states, keys = carry
-                fit = lrn.fit_now_first if fit_event == 0 else lrn.fit_now_warm
+                fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
                 fitted = jax.vmap(fit)(states)
                 states = _where_tree(states.count_res > 0, fitted, states)
                 carry = (X, states, keys)

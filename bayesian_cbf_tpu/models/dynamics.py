@@ -254,18 +254,6 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     # segmented batched runners and scan_with_scheduled_fits; the
     # per-step observe() path always uses the full budget.
     training_iter_warm: int = 0
-    # opt-in perf knob (False = off, reference semantics): initialize the
-    # FIRST fit's hyperparameters from buffer statistics
-    # (MVGP.heuristic_init — ridge mean, residual-variance scales, std
-    # lengthscales) instead of the unit cold start, so a reduced first-fit
-    # Adam budget starts near the optimum.  Honored by the segmented
-    # batched runners and scan_with_scheduled_fits (fit_now_first); the
-    # per-step observe() path always cold-starts.
-    first_fit_data_init: bool = False
-    # Adam LR schedule for every fit: "multistep" (reference semantics,
-    # MultiStepLR milestones) or "cosine" (2*lr cosine decay — the
-    # reduced-first-budget alternative; gated in records fit_schedule_ab)
-    fit_schedule: str = "multistep"
 
     # ------------------------------------------------------------ state
 
@@ -520,27 +508,22 @@ class LearnedShiftInvariantDynamics(NamedTuple):
         params = self.gp.fit(state.params, state.buf,
                              training_iter=(self.training_iter
                                             if training_iter is None
-                                            else training_iter),
-                             schedule=self.fit_schedule)
+                                            else training_iter))
         return state._replace(params=params, data=state.buf,
                               cache=self.gp.refresh_cache(params, state.buf))
-
-    def fit_now_first(self, state: LearnedDynState) -> LearnedDynState:
-        """fit_now for the FIRST scheduled fit: applies the data-driven
-        hyperparameter init (heuristic_init) when first_fit_data_init is
-        set; identical to fit_now when the knob is off."""
-        if not self.first_fit_data_init:
-            return self.fit_now(state)
-        params = self.gp.heuristic_init(state.params, state.buf)
-        return self.fit_now(state._replace(params=params))
 
     @property
     def first_fit_differs(self) -> bool:
         """True when the first scheduled fit runs a different program from
-        later ones (reduced warm budget and/or data-driven init) — the
-        runners then compile two fit programs and dispatch on the event
-        index."""
-        return self.warm_refits_differ or self.first_fit_data_init
+        later ones (the reduced warm budget) — the runners then compile two
+        fit programs and dispatch on the event index.  Known edge (benign
+        at experiment scale): the runners key "first" on the first
+        SCHEDULED event (t == train_every / fit_event == 0), so if that
+        event's fit is skipped because the buffer is still empty
+        (count_res == 0 — needs train_every steps with no accepted
+        residual pair, which no experiment config produces), the first
+        ACTUAL fit would run at the reduced warm budget."""
+        return self.warm_refits_differ
 
     @property
     def warm_refits_differ(self) -> bool:

@@ -147,47 +147,6 @@ class MVGP(NamedTuple):
             mean_M=jnp.zeros((mh, n), dtype=dtype),
         )
 
-    def heuristic_init(self, params: MVGPParams, data: MVGPData) -> MVGPParams:
-        """Data-driven hyperparameter initialization from the masked buffer
-        (pure/jittable; classic GP init heuristics).  Used before the FIRST
-        Adam fit so a reduced first-fit budget starts near the optimum
-        instead of at the unit cold start — the reference always cold-starts
-        and spends training_iter=100 (bayes_cbf/control_affine_model.py:268,
-        300-334); records `first_fit_iters_ab` measured that cold-started
-        reduced budgets degrade learning outcomes, which is exactly the gap
-        this init closes.
-
-        The ONLY field initialized from data is mean_M: a masked ridge
-        regression Xdot ~ UH M.  The residual model IS control-affine, so
-        the linear fit absorbs the bulk of the signal before the GP sees it
-        and Adam only has to shape the covariance around a small residual.
-
-        Deliberately NOT initialized from data (both measured dead ends):
-          * task-matrix / output scales (vA/vB/W, outputscale): matching
-            them to residual/control variance puts the raw
-            (inverse-softplus) parameters deep in softplus's saturated tail
-            where Adam's gradients vanish — the synthetic A/B
-            (tests/test_heuristic_init.py) has the variance-matched init
-            starting 150x WORSE in MLL and still 5x worse after 25
-            iterations;
-          * ARD lengthscales from the masked data std: over-localizes the
-            GP to the early-trajectory state range (theta spread at the
-            first fit is well under the unit cold start), which flipped the
-            flagship reduced-budget outcome to "stuck" (goal 2.55 vs 0.57
-            for ridge-mean-only at training_iter=25, CPU f64 full scale).
-        """
-        m = data.mask.astype(data.X.dtype)
-        mh = data.UH.shape[1]
-
-        # masked ridge fit of the linear mean: (UH^T D UH + lam I) M = UH^T D Xdot
-        UHm = data.UH * m[:, None]
-        G = UHm.T @ data.UH
-        lam = 1e-3 * jnp.trace(G) / mh + 1e-8
-        LG = psd_chol_small_ladder(G + lam * jnp.eye(mh, dtype=G.dtype),
-                                   init_jitter=self.jitter)
-        M = cho_solve_small_unrolled(LG, UHm.T @ data.Xdot)      # (mh, n)
-        return params._replace(mean_M=M)
-
     def empty_data(self, capacity: int, dtype=jnp.float64) -> MVGPData:
         n, mh = self.x_dim, 1 + self.u_dim
         return MVGPData(
@@ -326,25 +285,19 @@ class MVGP(NamedTuple):
         return ll / jnp.maximum(kcnt * n, 1.0)
 
     def fit(self, params: MVGPParams, data: MVGPData,
-            training_iter: int = 50, lr: float = 0.1,
-            schedule: str = "multistep") -> MVGPParams:
+            training_iter: int = 50, lr: float = 0.1) -> MVGPParams:
         """Adam on the negative MLL.  Pure and jittable: the whole fit is
         one lax.scan, so it can run under `lax.cond` inside a rollout scan.
 
-        schedule="multistep" (default) is the reference's MultiStepLR decay
-        with milestones at 30/60/80/90% of the iteration budget (gamma=0.1,
-        bayes_cbf/control_affine_model.py:300-303).  schedule="cosine" is a
-        cosine decay from 2*lr to 0.005*lr over the budget — a
-        reduced-budget alternative for the first fit (the multistep
-        schedule spends 70% of a short budget below the peak lr); gated
-        evidence in records `fit_schedule_ab`."""
-        if schedule == "cosine":
-            sched = optax.cosine_decay_schedule(2.0 * lr, training_iter,
-                                                alpha=0.005)
-        else:
-            boundaries = {int(f * training_iter): 0.1
-                          for f in (0.3, 0.6, 0.8, 0.9)}
-            sched = optax.piecewise_constant_schedule(lr, boundaries)
+        The LR schedule is the reference's MultiStepLR decay with
+        milestones at 30/60/80/90% of the iteration budget (gamma=0.1,
+        bayes_cbf/control_affine_model.py:300-303).  A cosine alternative
+        and a data-driven first-fit init were measured outcome-neutral or
+        worse and removed (records `fit_schedule_ab`,
+        `data_init_first_fit_ab`; git history has the code)."""
+        boundaries = {int(f * training_iter): 0.1
+                      for f in (0.3, 0.6, 0.8, 0.9)}
+        sched = optax.piecewise_constant_schedule(lr, boundaries)
         opt = optax.chain(optax.scale_by_adam(),
                           optax.scale_by_schedule(sched),
                           optax.scale(-1.0))
@@ -564,12 +517,13 @@ class MVGP(NamedTuple):
         kb = self._kb_star(params, data, x[None])[0]
         kbp = self._kb_star(params, data, xp[None])[0]
         prior = self.k_xx_single(params, x, xp) * params.B
-        # dispatchable product (ops/linvmul.py): exact-f32 always; the
-        # optional VPU streaming kernel is OPT-IN only — in-program XLA
-        # keeps the loop-invariant Linv VMEM-resident, see linvmul.py
-        from ..ops.linvmul import linv_matmul
-        vb = linv_matmul(cache.Linv, kb)
-        vbp = vb if xp is x else linv_matmul(cache.Linv, kbp)
+        # plain XLA matmuls: in-program XLA keeps the loop-invariant Linv
+        # cache VMEM-resident across scan steps, which a streaming Pallas
+        # kernel measurably cannot beat (round-3 negative result — the
+        # removed ops/pallas_linvmul kernel won standalone, lost
+        # ~0.14 ms/step in-program by breaking the moment-chain fusion)
+        vb = cache.Linv @ kb
+        vbp = vb if xp is x else cache.Linv @ kbp
         return prior - vb.T @ vbp
 
     def fu_mean(self, params, data, cache, u, x):

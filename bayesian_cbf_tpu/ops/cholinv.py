@@ -185,6 +185,15 @@ def batched_kinv_logdet_fit(K3, interpret: bool = False):
     resid 5.7e-3 on the real flagship Gram)."""
     if FIT_INVERSE == "xla":
         return _kinv_logdet_ref(K3)
+    if FIT_INVERSE == "cholk":
+        # single-call kernel: factor + Linv assembly + Linv^T Linv all in
+        # VMEM — same arithmetic as "chol" (identical trailing updates,
+        # Cholesky-class stability on the trajectory Grams) minus the
+        # per-iteration L/Dinv HBM round-trips and XLA assembly
+        from .pallas_chol import batched_kinv_logdet_chol
+        return batched_kinv_logdet_chol(K3, interpret=interpret,
+                                        nb=FIT_CHOL_NB,
+                                        chunk=FIT_CHOL_CHUNK)
     if FIT_INVERSE == "chol":
         from .pallas_chol import batched_chol_with_inv
         L, Linv = batched_chol_with_inv(K3, interpret=interpret,

@@ -43,17 +43,12 @@ from .cholinv import _PALLAS_MAX_N, _kinv_logdet_ref
 
 # None = auto (Pallas under vmap on TPU f32); True/False force
 USE_FUSED = None
-# True: build the Gram inside the sweep kernel (batched_gram_kinv_logdet).
-# Default False — measured round 3 at the flagship (256, 200, 200):
-# unfused 4.10, remat-VJP + XLA gram 3.82, gram-in-kernel 4.55 ms per
-# Adam iteration.  The in-kernel build loses ~0.7 ms: its per-dimension
-# (CB, n, 1) -> (CB, 1, n) sublane->lane transposes and serial VPU
-# distance passes cost more than the (B, k, k) HBM round-trip they
-# save, while XLA's gram fuses and overlaps with the kernel's DMA.
-# The remat-style custom VJP (gram internals recomputed in the
-# backward instead of saved) is the part that wins.  Kept as an opt-in
-# for larger xd/mh where the trade could flip.
-GRAM_IN_KERNEL = False
+# NOTE a gram-built-INSIDE-the-kernel variant existed and measured 4.55
+# vs 3.82 ms/Adam-iter for this remat-VJP + XLA-gram path at the
+# flagship (256, 200, 200) — the in-kernel per-dimension sublane->lane
+# transposes and serial VPU distance passes cost more than the
+# (B, k, k) HBM round-trip they save, while XLA's gram overlaps the
+# kernel DMA.  Removed (git history + records fused_fit_remat_vjp).
 
 
 def km_expr(X, UB, UH, inv_ell, nug, mask):
@@ -101,19 +96,9 @@ def _gram_kinv_logdet_vmap_rule(axis_size, in_batched, *args):
     Xf, UBf, UHf = flat(X), flat(UB), flat(UH)
     ief, nugf, mf = flat(inv_ell), flat(nug), flat(mask)
     if use and X.ndim >= 3:
-        if GRAM_IN_KERNEL:
-            # opt-in in-kernel gram build; NOTE this path is sweep-only
-            # and inherits the sweep recursion's near-singular fragility
-            # (cholinv.FIT_INVERSE docstring) — keep it off unless the
-            # batch is known well-conditioned
-            from .pallas_sweep import (pack_gram_inputs,
-                                       batched_gram_kinv_logdet)
-            packed = pack_gram_inputs(Xf, UBf, UHf, ief, nugf, mf)
-            Kinv, ld = batched_gram_kinv_logdet(packed, xd, mh)
-        else:
-            from .cholinv import batched_kinv_logdet_fit
-            Km = jax.vmap(km_expr)(Xf, UBf, UHf, ief, nugf, mf)
-            Kinv, ld = batched_kinv_logdet_fit(Km.astype(jnp.float32))
+        from .cholinv import batched_kinv_logdet_fit
+        Km = jax.vmap(km_expr)(Xf, UBf, UHf, ief, nugf, mf)
+        Kinv, ld = batched_kinv_logdet_fit(Km.astype(jnp.float32))
     else:
         Kinv, ld = _kinv_logdet_ref(
             jax.vmap(km_expr)(Xf, UBf, UHf, ief, nugf, mf))

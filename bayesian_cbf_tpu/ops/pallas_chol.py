@@ -124,6 +124,121 @@ def _chol_kernel(nblocks, nb, k_ref, l_ref, dinv_ref):
             W = W[:, nb:, nb:] - bmm(Lp, Lp, transpose_b=True)
 
 
+def _bmm(a, b, ta=False, tb=False):
+    dims = (((1 if ta else 2,), (2 if tb else 1,)), ((0,), (0,)))
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _cholkinv_kernel(nblocks, nb, n, k_ref, kinv_ref, ld_ref):
+    """Grid cell: (K^{-1}, logdet K) of a (CB, N, N) chunk ENTIRELY in
+    VMEM — blocked Cholesky factorization, row-form Linv assembly on
+    values, Kinv = Linv^T Linv as one MXU matmul, logdet from the factor
+    diagonals.  Same arithmetic as the `batched_chol_with_inv` kernel +
+    the XLA-side row assembly it previously required, but the L/Dinv
+    blocks never round-trip through HBM and the nblocks-1 assembly steps
+    cost VMEM copies instead of dispatched XLA concats — which is what
+    made small nb lose before (records fit_chol_nb_small_ab: the nb=8
+    serial factor loop is cheap, the XLA assembly at 24 blocks wasn't)."""
+    f32 = k_ref.dtype
+    tiny = jnp.full((1, 1, 1), 1e-12, f32)
+    W = k_ref[:]                                              # (CB, N, N)
+    CB = W.shape[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    eye_nb = (ri == ci.reshape(nb, 1).T).astype(f32)          # (nb, nb)
+    ld = jnp.zeros((CB, 1, 1), f32)
+    lps = []             # per block j: sub-diagonal panel P @ Xj^T, a VALUE
+    xs = []              # Xj = Lj^{-1} values
+    for j in range(nblocks):
+        D = W[:, :nb, :nb]
+        Lj, Xj = _factor_block(D, tiny)
+        diag = jnp.sum(Lj * eye_nb[None], axis=2,
+                       keepdims=True)                         # (CB, nb, 1)
+        ld = ld + 2.0 * jnp.sum(
+            jnp.log(jnp.maximum(diag, jnp.full_like(diag, 1e-20))),
+            axis=1, keepdims=True)
+        xs.append(Xj)
+        if j + 1 < nblocks:
+            P = W[:, nb:, :nb]
+            Lp = _bmm(P, Xj, tb=True)                         # P @ Xj^T
+            lps.append(Lp)                                    # rows (j+1)nb..N
+            W = W[:, nb:, nb:] - _bmm(Lp, Lp, tb=True)
+        else:
+            lps.append(None)
+    # row-form Linv assembly on values (valid because Linv is lower
+    # triangular — summing k over the FULL 0..r-1 block range equals the
+    # substitution range; see LINV_ASSEMBLY docstring).  Row band r of
+    # column block j < r lives in lps[j] local rows (r-j-1)*nb.. — the
+    # diagonal Lj blocks are never concatenated with panel pieces (their
+    # sliced-operand lane offsets are what Mosaic's concat rejects).
+    top = xs[0]
+    for r in range(1, nblocks):
+        Lrow = jnp.concatenate(
+            [lps[j][:, (r - j - 1) * nb:(r - j) * nb, :]
+             for j in range(r)], axis=2)                      # (CB, nb, r*nb)
+        new = -_bmm(xs[r], _bmm(Lrow, top))
+        o = r * nb
+        top = jnp.concatenate([
+            jnp.concatenate([top, jnp.zeros((CB, o, nb), f32)], axis=2),
+            jnp.concatenate([new, xs[r]], axis=2)], axis=1)
+    Kinv = _bmm(top, top, ta=True)                            # Linv^T Linv
+    kinv_ref[:] = Kinv[:, :n, :n]
+    ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
+
+
+def batched_kinv_logdet_chol(K, interpret: bool = False, nb: int = 0,
+                             chunk: int = 0):
+    """(K^{-1}, logdet K) for a batch K (B, n, n) of PSD matrices via ONE
+    Pallas call (factor + Linv assembly + Linv^T Linv all in VMEM); f32.
+    The FIT_INVERSE="cholk" path: Cholesky-class stability on the
+    trajectory-correlated fit Grams (the trailing updates are identical
+    to `batched_chol_with_inv`'s) without that path's per-Adam-iteration
+    L/Dinv HBM round-trips and XLA assembly dispatches.  nb/chunk are
+    call-time args (trace-time global reads burned a round-3 A/B)."""
+    nb = int(nb) if nb else NB_BLK
+    return _batched_kinv_logdet_chol_jit(K, interpret, nb, int(chunk))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nb", "chunk"))
+def _batched_kinv_logdet_chol_jit(K, interpret: bool, nb: int, chunk: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = K.shape
+    N = max(_round_up(n, nb), nb)
+    nblocks = N // nb
+    from .pallas_sweep import _auto_chunk, VMEM_LIMIT
+    # extra live values vs the plain factor kernel: the cols list
+    # (~N^2/2), the growing Linv top (~N^2) and the Kinv product (~N^2)
+    chunk = min(chunk or CHUNK, _auto_chunk(N, extra_bytes_per_elem=5 * N * N))
+    Bp = max(_round_up(B, chunk), chunk)
+    f32 = jnp.float32
+
+    Kp = jnp.zeros((Bp, N, N), f32)
+    Kp = Kp.at[:, jnp.arange(N), jnp.arange(N)].set(1.0)      # identity pad
+    Kp = Kp.at[:B, :n, :n].set(K.astype(f32))
+
+    grid = (Bp // chunk,)
+    Kinv, ld = pl.pallas_call(
+        functools.partial(_cholkinv_kernel, nblocks, nb, n),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((Bp, n, n), f32),
+                   jax.ShapeDtypeStruct((Bp, 1, 128), f32)),
+        in_specs=[pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((chunk, 1, 128), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(Kp)
+    return (Kinv[:B].astype(K.dtype), ld[:B, 0, 0].astype(K.dtype))
+
+
 def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0,
                           chunk: int = 0, assembly: str = ""):
     """(L, Linv) for a batch K (B, n, n) of PSD matrices via the Pallas

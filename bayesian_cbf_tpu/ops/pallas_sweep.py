@@ -211,122 +211,6 @@ def _kernel(N, n, base, k_ref, kinv_ref, ld_ref):
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
 
 
-def _fused_kernel(N, n, xd, mh, base, packed_ref, kinv_ref, ld_ref):
-    """Build the masked MVGP fit-Gram in VMEM, then invert it.
-
-    packed columns (see pack_gram_inputs): [0:xd] raw X, [xd:xd+mh]
-    UH @ (s*B), [xd+mh:xd+2mh] UH, [xd+2mh:2xd+2mh] 1/ell broadcast,
-    [2xd+2mh] nugget broadcast, [2xd+2mh+1] row-validity mask.
-
-    The Gram never touches HBM: the unfused fit paid a (B, k, k) f32
-    write (XLA gram) + read (kernel input) per Adam iteration.
-    Distances accumulate EXACT raw differences scaled by 1/ell — the
-    same cancellation-safe form as models/mvgp.k_xx (round-2 dot-form
-    regression), and ubu = (UH sB) UH^T matches XLA's left-to-right
-    association of UH @ (sB) @ UH^T."""
-    f32 = packed_ref.dtype
-    tiny = jnp.full((1, 1, 1), 1e-12, f32)
-    P = packed_ref[:]                                  # (CB, n, F)
-    CB = P.shape[0]
-
-    d2 = jnp.zeros((CB, n, n), f32)
-    for a in range(xd):
-        col = P[:, :, a:a + 1]                         # (CB, n, 1)
-        # per-element scalars are packed as full columns so every
-        # broadcast below is lane-only (Mosaic rejects a (CB,1,1) ->
-        # (CB,n,n) broadcast: "Broadcast in both sublanes and lanes")
-        iell = P[:, :, xd + 2 * mh + a:xd + 2 * mh + a + 1]
-        d = (col - jnp.swapaxes(col, 1, 2)) * iell
-        d2 = d2 + d * d
-    rbf = jnp.exp(-0.5 * d2)
-    UB = P[:, :, xd:xd + mh]
-    U = P[:, :, xd + mh:xd + 2 * mh]
-    ubu = _bmm(UB, U, tb=True)                         # (CB, n, n)
-    nug = P[:, :, 2 * xd + 2 * mh:2 * xd + 2 * mh + 1]
-    mk = P[:, :, 2 * xd + 2 * mh + 1:2 * xd + 2 * mh + 2]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    eye = (ri == ci).astype(f32)[None]
-    M = (rbf * ubu * (mk * jnp.swapaxes(mk, 1, 2))
-         + nug * eye * mk + eye * (1.0 - mk))
-    if n < N:
-        M = _identity_pad(M, N, n)
-    Kinv, ld = _inv_logdet(M, N, tiny, base)
-    kinv_ref[:] = Kinv[:, :n, :n]
-    ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
-
-
-def pack_gram_inputs(X, UB, UH, inv_ell, nug, mask):
-    """Pack per-GP fit-Gram inputs into one (B, k, 2*xd+2*mh+2) array
-    for the fused kernel.  All leading dims must match; scalars
-    broadcast along rows."""
-    B, k, xd = X.shape
-    mh = UH.shape[-1]
-    f32 = jnp.float32
-    cols = [X.astype(f32), UB.astype(f32), UH.astype(f32),
-            jnp.broadcast_to(inv_ell[:, None, :].astype(f32), (B, k, xd)),
-            jnp.broadcast_to(nug[:, None, None].astype(f32), (B, k, 1)),
-            mask.astype(f32)[:, :, None]]
-    return jnp.concatenate(cols, axis=2)
-
-
-def batched_gram_kinv_logdet(packed, xd: int, mh: int,
-                             interpret: bool = False, base: int = 0):
-    """Fused masked-Gram build + (K^{-1}, logdet K); f32.
-
-    packed: (B, k, 2*xd+2*mh+2) from pack_gram_inputs.  Saves the
-    (B, k, k) Gram HBM round-trip the unfused fit pays per Adam
-    iteration (kernel input shrinks ~k/(2(xd+mh)) times).
-
-    `base` (0 = size-dependent default) is resolved HERE, outside jit:
-    the old implementation read the module global at trace time, so an
-    A/B that flipped `BASE` between same-shape calls silently reused
-    the first trace (a measured footgun, round 3)."""
-    base = int(base) if base else _pick_base(packed.shape[-2])
-    return _batched_gram_kinv_logdet_jit(packed, xd, mh, interpret, base)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("xd", "mh", "interpret", "base"))
-def _batched_gram_kinv_logdet_jit(packed, xd: int, mh: int,
-                                  interpret: bool, base: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, n, F = packed.shape
-    assert F == 2 * xd + 2 * mh + 2
-    N = _padded_size(n, base)
-    chunk = _auto_chunk(N)
-    Bp = max(_round_up(B, chunk), chunk)
-    f32 = jnp.float32
-
-    Pp = packed.astype(f32)
-    if Bp != B:
-        # batch-tail padding: zero rows with mask=0 make the in-kernel
-        # Gram an identity (finite, garbage-free sweeps)
-        Pp = jnp.concatenate(
-            [Pp, jnp.zeros((Bp - B, n, F), f32)], axis=0)
-
-    grid = (Bp // chunk,)
-    Kinv, ld = pl.pallas_call(
-        functools.partial(_fused_kernel, N, n, xd, mh, base),
-        grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((Bp, n, n), f32),
-                   jax.ShapeDtypeStruct((Bp, 1, 128), f32)),
-        in_specs=[pl.BlockSpec((chunk, n, F), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((chunk, 1, 128), lambda b: (b, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT),
-        interpret=interpret,
-    )(Pp)
-    return (Kinv[:B].astype(packed.dtype),
-            ld[:B, 0, 0].astype(packed.dtype))
-
-
 def batched_kinv_logdet(K, interpret: bool = False, chunk: int = 0,
                         alias: bool = False, base: int = 0):
     """(K^{-1}, logdet K) for a batch K (B, n, n) of PD matrices; f32.

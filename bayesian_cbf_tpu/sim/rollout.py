@@ -182,7 +182,7 @@ def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
     lrn = sim.learned_dynamics
     carry = sim.init_state(x0, key)
     _, (X, U, Xdot, info, knl) = scan_with_scheduled_fits(
-        sim.step_no_fit, lrn.fit_now_first, carry, sim.numSteps,
+        sim.step_no_fit, lrn.fit_now, carry, sim.numSteps,
         lrn.train_every_n_steps, lrn.enable_learning,
         fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs else None))
     return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
@@ -263,11 +263,11 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
         ys.append(y)
         if do_fit:
             X, states, warms = carry
-            # first fit event spends the full Adam budget (optionally from
-            # the data-driven init); later ones are warm-started (params
-            # persist across fits, matching the reference's reused torch
-            # module) and may use the reduced training_iter_warm budget
-            fit = lrn.fit_now_first if fit_event == 0 else lrn.fit_now_warm
+            # first fit event spends the full Adam budget; later ones are
+            # warm-started (params persist across fits, matching the
+            # reference's reused torch module) and may use the reduced
+            # training_iter_warm budget
+            fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
             fitted = jax.vmap(fit)(states)
             states = _where_tree(states.count_res > 0, fitted, states)
             carry = (X, states, warms)

@@ -79,17 +79,19 @@ def main():
               os.environ.get("AB_CHOL_CHUNKS", "0").split(",")]
     asms = os.environ.get("AB_CHOL_ASM", "").split(",") \
         if os.environ.get("AB_CHOL_ASM") else [""]
+    kinds = os.environ.get("AB_KINDS", "chol").split(",")
     results = []
-    for nb in nbs:
-        for ck in chunks:
-            for asm in asms:
-                cholinv.FIT_INVERSE = "chol"
-                cholinv.FIT_CHOL_NB = nb
-                cholinv.FIT_CHOL_CHUNK = ck
-                cholinv.FIT_CHOL_ASSEMBLY = asm
-                results.append(run_variant(
-                    "chol_nb%d_chunk%d%s" % (nb, ck,
-                                             ("_" + asm) if asm else "")))
+    for kind in kinds:
+        for nb in nbs:
+            for ck in chunks:
+                for asm in asms:
+                    cholinv.FIT_INVERSE = kind
+                    cholinv.FIT_CHOL_NB = nb
+                    cholinv.FIT_CHOL_CHUNK = ck
+                    cholinv.FIT_CHOL_ASSEMBLY = asm
+                    results.append(run_variant(
+                        "%s_nb%d_chunk%d%s" % (kind, nb, ck,
+                                               ("_" + asm) if asm else "")))
     cholinv.FIT_CHOL_ASSEMBLY = ""
     if not os.environ.get("AB_SKIP_SWEEP"):
         cholinv.FIT_INVERSE = "sweep_full"

@@ -53,11 +53,6 @@ def main():
     first_iters = int(os.environ.get("OUTCOMES_TRAINING_ITER", "0"))
     if first_iters:
         learn_kw["training_iter"] = first_iters
-    # Data-driven first-fit init knob (MVGP.heuristic_init ridge mean):
-    # gate the init + reduced first budget combination on chip before the
-    # bench adopts it (records data_init_first_fit_ab).
-    if os.environ.get("OUTCOMES_FIRST_FIT_DATA_INIT", "0") == "1":
-        learn_kw["first_fit_data_init"] = True
     t0 = time.time()
     res = {}
     for name, fn, kw in [

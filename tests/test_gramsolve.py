@@ -97,70 +97,6 @@ def test_gram_solve_logdet_custom_vjp_matches_autodiff():
                                    rtol=1e-7, atol=1e-9)
 
 
-def test_fused_kernel_interpret_matches_reference():
-    """batched_gram_kinv_logdet (interpret) vs km_expr + NumPy
-    inverse/slogdet, masked tail rows included."""
-    from bayesian_cbf_tpu.ops.pallas_sweep import (
-        pack_gram_inputs, batched_gram_kinv_logdet)
-    rng = np.random.default_rng(2)
-    B, k, xd, mh = 3, 40, 3, 3
-    Xs, UBs, UHs, iells, nugs, masks = [], [], [], [], [], []
-    for _ in range(B):
-        X, UB, UH, inv_ell, nug, mask, _ = _random_inputs(
-            rng, k=k, xd=xd, mh=mh, dtype=jnp.float32)
-        Xs.append(X); UBs.append(UB); UHs.append(UH)
-        iells.append(inv_ell); nugs.append(nug); masks.append(mask)
-    X = jnp.stack(Xs); UB = jnp.stack(UBs); UH = jnp.stack(UHs)
-    inv_ell = jnp.stack(iells); nug = jnp.stack(nugs)
-    mask = jnp.stack(masks)
-
-    # benign conditioning (kappa ~ 30): the gram build must match the
-    # f64 reference tightly — any column-offset/packing bug shows here
-    nug = 0.1 * jnp.asarray([float(np.mean(np.abs(
-        np.sum(np.asarray(UB[b]) * np.asarray(UH[b]), -1))))
-        for b in range(B)], jnp.float32)
-    packed = pack_gram_inputs(X, UB, UH, inv_ell, nug, mask)
-    Kinv, ld = batched_gram_kinv_logdet(packed, xd, mh, interpret=True)
-
-    for b in range(B):
-        Km = np.asarray(gramsolve.km_expr(
-            X[b].astype(jnp.float64), UB[b].astype(jnp.float64),
-            UH[b].astype(jnp.float64), inv_ell[b].astype(jnp.float64),
-            nug[b].astype(jnp.float64), mask[b].astype(jnp.float64)))
-        resid = np.max(np.abs(np.asarray(Kinv[b], np.float64) @ Km
-                              - np.eye(k)))
-        # f32 + the base-8 recursion depth give ~5e-3 at kappa~30
-        # (logdet is unaffected); a packing/offset bug gives garbage,
-        # not 1e-2 — this bound still catches those
-        assert np.isfinite(resid) and resid < 2e-2, resid
-        sgn, ld_ref = np.linalg.slogdet(Km)
-        assert np.isclose(float(ld[b]), ld_ref, rtol=1e-4, atol=1e-4)
-
-
-def test_fused_kernel_consistent_with_plain_sweep_at_production_kappa():
-    """At production-class conditioning (kappa ~ 1e4) the fused kernel
-    must track the plain sweep on the SAME f32 Gram: identical
-    algorithm, gram built in-VMEM vs by XLA (differences are ~1-ulp
-    gram rounding amplified by kappa — checked on logdet, which
-    conditions as log, not as kappa)."""
-    from bayesian_cbf_tpu.ops.pallas_sweep import (
-        pack_gram_inputs, batched_gram_kinv_logdet, batched_kinv_logdet)
-    rng = np.random.default_rng(4)
-    B, k, xd, mh = 3, 40, 3, 3
-    rows = [_random_inputs(rng, k=k, xd=xd, mh=mh, dtype=jnp.float32)
-            for _ in range(B)]
-    X, UB, UH, inv_ell, nug, mask, _ = [
-        jnp.stack([r[i] for r in rows]) for i in range(7)]
-    Km32 = jax.vmap(gramsolve.km_expr)(X, UB, UH, inv_ell, nug, mask)
-    Kinv_p, ld_p = batched_kinv_logdet(Km32, interpret=True)
-    packed = pack_gram_inputs(X, UB, UH, inv_ell, nug, mask)
-    Kinv_f, ld_f = batched_gram_kinv_logdet(packed, xd, mh, interpret=True)
-    assert bool(jnp.all(jnp.isfinite(Kinv_f))) and bool(
-        jnp.all(jnp.isfinite(ld_f)))
-    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_p),
-                               rtol=5e-3)
-
-
 @pytest.mark.parametrize("batched", [False, True])
 def test_mll_unchanged_by_fused_fit(batched):
     """FUSED_FIT=True vs False: identical MLL value and gradient (f64)."""

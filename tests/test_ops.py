@@ -226,40 +226,3 @@ def test_kinv_logdet_unbatched_operand_under_vmap():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
 
 
-def test_linv_matmul_kernel_matches_xla():
-    """VPU streaming posterior kernel (interpret): Linv @ kb == XLA bmm
-    across pad-boundary shapes."""
-    from bayesian_cbf_tpu.ops.pallas_linvmul import batched_linv_matmul
-    rng = np.random.default_rng(0)
-    for B, k, mh in [(3, 200, 3), (5, 64, 2), (2, 256, 3), (9, 130, 1)]:
-        L = jnp.asarray(rng.normal(size=(B, k, k)), jnp.float32)
-        KB = jnp.asarray(rng.normal(size=(B, k, mh)), jnp.float32)
-        got = batched_linv_matmul(L, KB, interpret=True)
-        want = np.asarray(L, np.float64) @ np.asarray(KB, np.float64)
-        np.testing.assert_allclose(np.asarray(got), want,
-                                   rtol=2e-5, atol=2e-4)
-
-
-def test_linv_matmul_dispatch_and_grad():
-    """custom_vmap + custom_vjp composition for linv_matmul: vmapped
-    gradients equal autodiff through plain matmul."""
-    from bayesian_cbf_tpu.ops import linvmul
-    rng = np.random.default_rng(1)
-    B, k, mh = 4, 17, 3
-    L = jnp.asarray(rng.normal(size=(B, k, k)))
-    KB = jnp.asarray(rng.normal(size=(B, k, mh)))
-    W = jnp.asarray(rng.normal(size=(k, mh)))
-
-    def f(Li, Ki):
-        return jnp.sum(W * linvmul.linv_matmul(Li, Ki))
-
-    def fref(Li, Ki):
-        return jnp.sum(W * (Li @ Ki))
-
-    out = jax.jit(jax.vmap(linvmul.linv_matmul))(L, KB)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(L @ KB),
-                               rtol=1e-12)
-    g = jax.vmap(jax.grad(f, argnums=(0, 1)))(L, KB)
-    gref = jax.vmap(jax.grad(fref, argnums=(0, 1)))(L, KB)
-    for a, b in zip(g, gref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)

@@ -198,3 +198,39 @@ def test_solver_einsums_pinned_to_full_precision():
     import re
     defaults = re.findall(r"dot_general\[[^\]]*precision=None", s)
     assert not defaults, defaults[:3]
+
+
+def test_cvxopt_documentation_example():
+    """Independent-oracle anchor: the SOCP worked example from the cvxopt
+    user guide (coneprog.html, "Second-Order Cone Programming"), whose
+    optimal primal AND dual values are published in the guide itself (and
+    which the reference uses as its own solver fixture,
+    bayes_cbf/tests/test_optimizers.py:6-119).  The cone data below is
+    cvxopt's (c, Gq, hq) with s = h - Gx in Q; asserting both x* and the
+    per-cone duals z* against the published values checks our IPM against
+    a mature conic solver without importing one."""
+    c = jnp.array([-2.0, 1.0, 5.0])
+    # cvxopt matrices are column-major: G[0] columns (12,13,12),
+    # (6,-3,-12), (-5,-5,6); G[1] columns (3,3,-1,1), (-6,-6,-9,19),
+    # (10,-2,-2,-3)
+    G0 = np.array([[12.0, 6.0, -5.0],
+                   [13.0, -3.0, -5.0],
+                   [12.0, -12.0, 6.0]])
+    h0 = np.array([-12.0, -3.0, -2.0])
+    G1 = np.array([[3.0, -6.0, 10.0],
+                   [3.0, -6.0, -2.0],
+                   [-1.0, -9.0, -2.0],
+                   [1.0, 19.0, -3.0]])
+    h1 = np.array([27.0, 0.0, 3.0, -42.0])
+    G = jnp.asarray(np.concatenate([G0, G1], 0))
+    h = jnp.asarray(np.concatenate([h0, h1]))
+    sol = solve_socp(c, G, h, dims=(3, 4), iters=40)
+    assert float(sol.pres) < 1e-6 and float(sol.dres) < 1e-6
+    # published primal (3 significant digits in the guide)
+    np.testing.assert_allclose(np.asarray(sol.x),
+                               [-5.0147, -5.7664, -8.5217], atol=2e-3)
+    # published duals zq (cone-padded layout: z is (C, dmax))
+    z = np.asarray(sol.z)
+    np.testing.assert_allclose(z[0, :3], [1.34, -0.0763, -1.34], atol=5e-3)
+    np.testing.assert_allclose(z[1, :4], [1.02, 0.402, 0.780, -0.517],
+                               atol=5e-3)
