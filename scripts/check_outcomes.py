@@ -34,6 +34,155 @@ def _wait_for_backend(attempts=10, sleep_s=60):
     return jax.devices()
 
 
+def kernel_parity_checks():
+    """Mosaic-compiled vs interpret parity for every production Pallas
+    kernel at flagship shapes on trajectory-conditioned data (round-3
+    verdict 3: compiled-kernel correctness previously had no automated
+    on-chip gate — the FIT_INVERSE='xla' escape hatch existed precisely
+    because this risk was real).
+
+    Residual-based where conditioning matters: the verdict is
+    resid_compiled < max(abs_floor, 3 * resid_interpret), i.e. the
+    compiled kernel may not be meaningfully WORSE than its interpret
+    semantics on the same data.  Set OUTCOMES_KERNEL_PERTURB to
+    fit|factor|sweep|gram|ipm to deliberately corrupt one compiled
+    result and prove the verdict trips (audit knob)."""
+    from bayesian_cbf_tpu.ops import cholinv
+    from bayesian_cbf_tpu.ops import pallas_sweep as ps
+    from bayesian_cbf_tpu.ops.pallas_chol import batched_chol_with_inv
+    from bayesian_cbf_tpu.ops.gram import (fused_gram_kb,
+                                           fused_gram_kb_reference)
+    from bayesian_cbf_tpu.solvers import socp as socp_mod
+
+    perturb = os.environ.get("OUTCOMES_KERNEL_PERTURB", "")
+    rng = np.random.default_rng(42)
+    B, k, xd = 256, 200, 3
+    X = np.cumsum(0.02 * rng.normal(size=(B, k, xd)), 1).astype(np.float32)
+    d = X[:, :, None, :] - X[:, None, :, :]
+    K = (np.exp(-0.5 * np.sum(d * d, -1))
+         + 2.5e-4 * np.eye(k, dtype=np.float32)).astype(np.float32)
+    K = jnp.asarray(K)
+    sample = (0, 17, 101, 255)
+
+    def resid(Kinv, idx=sample):
+        r = 0.0
+        for i in idx:
+            r = max(r, float(np.max(np.abs(
+                np.asarray(Kinv[i], np.float64)
+                @ np.asarray(K[i], np.float64) - np.eye(k)))))
+        return r
+
+    checks = {}
+
+    # 1. the batched FIT inversion (whatever FIT_INVERSE selects)
+    Ki_c, ld_c = cholinv.batched_kinv_logdet_fit(K)
+    Ki_i, ld_i = cholinv.batched_kinv_logdet_fit(K, interpret=True)
+    if perturb == "fit":
+        Ki_c = Ki_c + 1.0
+    rc, ri = resid(Ki_c), resid(Ki_i)
+    checks["fit_inverse"] = {
+        "resid_compiled": round(rc, 5), "resid_interpret": round(ri, 5),
+        "logdet_maxdiff": round(float(jnp.max(jnp.abs(ld_c - ld_i))), 5),
+        "ok": bool(rc < max(5e-2, 3 * ri)
+                   and float(jnp.max(jnp.abs(ld_c - ld_i))) < 0.5)}
+
+    # 2. the refresh_cache factorization kernel (L, Linv)
+    _, Linv_c = batched_chol_with_inv(K)
+    _, Linv_i = batched_chol_with_inv(K, interpret=True)
+    if perturb == "factor":
+        Linv_c = Linv_c + 1.0
+    Kc = jnp.swapaxes(Linv_c, -1, -2) @ Linv_c
+    Kii = jnp.swapaxes(Linv_i, -1, -2) @ Linv_i
+    rc, ri = resid(Kc), resid(Kii)
+    checks["chol_with_inv"] = {
+        "resid_compiled": round(rc, 5), "resid_interpret": round(ri, 5),
+        "ok": bool(rc < max(5e-2, 3 * ri))}
+
+    # 3. the Schur/sweep kernel on its supported (well-conditioned) regime
+    Kw = K + jnp.eye(k, dtype=jnp.float32)
+    Sw_c, lds_c = ps.batched_kinv_logdet(Kw)
+    Sw_i, lds_i = ps.batched_kinv_logdet(Kw, interpret=True)
+    if perturb == "sweep":
+        Sw_c = Sw_c + 1.0
+
+    def resid_w(Kinv):
+        r = 0.0
+        for i in sample:
+            r = max(r, float(np.max(np.abs(
+                np.asarray(Kinv[i], np.float64)
+                @ np.asarray(Kw[i], np.float64) - np.eye(k)))))
+        return r
+    rc, ri = resid_w(Sw_c), resid_w(Sw_i)
+    checks["sweep"] = {
+        "resid_compiled": round(rc, 6), "resid_interpret": round(ri, 6),
+        "logdet_maxdiff": round(float(jnp.max(jnp.abs(lds_c - lds_i))), 6),
+        "ok": bool(rc < max(1e-2, 3 * ri)
+                   and float(jnp.max(jnp.abs(lds_c - lds_i))) < 0.1)}
+
+    # 4. the fused inference Gram kernel vs its XLA oracle
+    Xs = jnp.asarray(X[0])
+    UHB = jnp.asarray(rng.normal(size=(k, 3)).astype(np.float32))
+    mask = jnp.ones((k,), jnp.float32).at[k - 7:].set(0.0)
+    g_c = fused_gram_kb(Xs, UHB, mask, jnp.float32(1.3), jnp.float32(1e-4))
+    g_r = fused_gram_kb_reference(Xs, UHB, mask, jnp.float32(1.3),
+                                  jnp.float32(1e-4))
+    if perturb == "gram":
+        g_c = g_c + 1.0
+    gd = float(jnp.max(jnp.abs(g_c - g_r)))
+    checks["fused_gram"] = {"maxdiff": round(gd, 8), "ok": bool(gd < 1e-4)}
+
+    # 5. the whole-solve IPM kernel vs the plain path, controller cones
+    nvar, m = 4, 2
+    Bi = 64
+    w = rng.normal(size=(Bi, m)).astype(np.float32)
+    A0 = np.zeros((Bi, m + 1, nvar), np.float32)
+    A0[:, :m, :m] = np.eye(m, dtype=np.float32)
+    A0[:, m, m] = 1.0
+    # objective epigraph tracks u -> w (nontrivial optimum), CBC-like
+    # cone ||0.3 u + w|| <= u_0 + 1.5 is active for some batch elements
+    b0 = np.concatenate([-w, np.zeros((Bi, 1), np.float32)], 1)
+    cobj = np.zeros((Bi, nvar), np.float32)
+    cobj[:, m + 1] = 1.0
+    Gs = np.concatenate([
+        -np.concatenate([cobj[:, None, :], A0], 1),
+        -np.concatenate([np.tile(np.array([[1., 0., 0., 0.]],
+                                          np.float32), (Bi, 1, 1)),
+                         np.concatenate([0.3 * A0[:, :m, :],
+                                         np.zeros((Bi, 1, nvar),
+                                                  np.float32)], 1)], 1)],
+        axis=1)
+    hs = np.concatenate([
+        np.concatenate([np.zeros((Bi, 1), np.float32), b0], 1),
+        np.concatenate([1.5 * np.ones((Bi, 1), np.float32), w,
+                        np.zeros((Bi, 2), np.float32)], 1)], axis=1)
+    dims = (m + 2, m + 2)
+    G = jnp.asarray(Gs)
+    h = jnp.asarray(hs)
+    c = jnp.asarray(cobj)
+
+    def solve_batch():
+        return jax.jit(jax.vmap(
+            lambda cc, GG, hh: socp_mod.solve_socp(
+                cc, GG, hh, dims, iters=25).x))(c, G, h)
+
+    old = socp_mod.USE_PALLAS_IPM
+    try:
+        socp_mod.USE_PALLAS_IPM = True
+        x_k = solve_batch()
+        socp_mod.USE_PALLAS_IPM = False
+        x_p = solve_batch()
+    finally:
+        socp_mod.USE_PALLAS_IPM = old
+    if perturb == "ipm":
+        x_k = x_k + 1.0
+    dx = float(jnp.max(jnp.abs(x_k - x_p)))
+    checks["ipm"] = {"x_maxdiff": round(dx, 6),
+                     "finite": bool(jnp.all(jnp.isfinite(x_k))),
+                     "ok": bool(dx < 1e-3 and jnp.all(jnp.isfinite(x_k)))}
+
+    return checks
+
+
 def main():
     _wait_for_backend()
     from bayesian_cbf_tpu.experiments.unicycle import (
@@ -190,6 +339,11 @@ def main():
             and (math.pi / 4 + math.pi / 8 - 0.05
                  < res["pendulum_ground_truth"]["theta_end"] < 1.45),
     })
+    # --- Mosaic-vs-interpret kernel parity (round-3 directive 3) ---
+    kp = kernel_parity_checks()
+    res["kernel_parity"] = kp
+    verdicts["kernel_parity"] = all(v["ok"] for v in kp.values())
+
     out = {"results": res, "verdicts": verdicts,
            "all_pass": all(verdicts.values()),
            "wall_s": round(time.time() - t0, 1)}
