@@ -210,9 +210,12 @@ def _batched_kinv_logdet_chol_jit(K, interpret: bool, nb: int, chunk: int):
     N = max(_round_up(n, nb), nb)
     nblocks = N // nb
     from .pallas_sweep import _auto_chunk, VMEM_LIMIT
-    # extra live values vs the plain factor kernel: the cols list
-    # (~N^2/2), the growing Linv top (~N^2) and the Kinv product (~N^2)
-    chunk = min(chunk or CHUNK, _auto_chunk(N, extra_bytes_per_elem=5 * N * N))
+    # true peak ~7.5x N^2 f32 per element: in/out double-buffered (4x) +
+    # the live W / panel list / growing Linv / Kinv values (~3.5x) — the
+    # base 7x in _auto_chunk covers most of it, so only a small extra.
+    # chunk matters a lot here: total serial-pivot overhead scales with
+    # GRID CELLS x pivots, so halving cells nearly halves the VPU wall
+    chunk = min(chunk or CHUNK, _auto_chunk(N, extra_bytes_per_elem=N * N))
     Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
 

@@ -178,14 +178,27 @@ def scan_with_scheduled_fits(step_fn, fit_fn, carry, numSteps: int,
     return jax.lax.scan(body, carry, jnp.arange(numSteps))
 
 
-def _simulate_unicycle(sim: UnicycleSim, x0, key) -> RolloutOutputs:
+def _simulate_unicycle(sim: UnicycleSim, x0, key):
     lrn = sim.learned_dynamics
     carry = sim.init_state(x0, key)
-    _, (X, U, Xdot, info, knl) = scan_with_scheduled_fits(
+    carry_out, (X, U, Xdot, info, knl) = scan_with_scheduled_fits(
         sim.step_no_fit, lrn.fit_now, carry, sim.numSteps,
         lrn.train_every_n_steps, lrn.enable_learning,
         fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs else None))
-    return RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
+    out = RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
+    return out, carry_out
+
+
+def simulate_unicycle_with_state(sim: UnicycleSim, x0, key=None):
+    """Episode runner that ALSO returns the final scan carry (whose
+    element 1 is the LearnedDynState: fitted params + reservoir +
+    posterior cache).  Used by the warm-refit posterior-distance pin
+    (round-3 verdict 8) and by anything that wants to checkpoint or
+    inspect the learned model at episode end."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fn = jax.jit(lambda x0_, key_: _simulate_unicycle(sim, x0_, key_))
+    return fn(jnp.asarray(x0), key)
 
 
 def sample_generator_trajectory(dynamics, controller_fn, x0, numSteps, dt):
@@ -298,7 +311,8 @@ def simulate_unicycle(sim: UnicycleSim, x0, key=None) -> RolloutOutputs:
         key = jax.random.PRNGKey(0)
     entry = _SIM_CACHE.get(id(sim))
     if entry is None or entry[0] is not sim:
-        fn = jax.jit(lambda x0_, key_: _simulate_unicycle(sim, x0_, key_))
+        fn = jax.jit(
+            lambda x0_, key_: _simulate_unicycle(sim, x0_, key_)[0])
         _SIM_CACHE[id(sim)] = (sim, fn)
         while len(_SIM_CACHE) > _SIM_CACHE_MAX:
             _SIM_CACHE.popitem(last=False)

@@ -147,7 +147,7 @@ def compile_times():
         .lower(x0s, keys).compile()
     uni_batch = time.time() - t0
     t0 = time.time()
-    jax.jit(lambda a, k: _simulate_unicycle(sim, a, k)) \
+    jax.jit(lambda a, k: _simulate_unicycle(sim, a, k)[0]) \
         .lower(x0, jax.random.PRNGKey(0)).compile()
     uni_single = time.time() - t0
 

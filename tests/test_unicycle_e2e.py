@@ -72,8 +72,8 @@ def test_vmap_batch_of_rollouts():
         [[0.0, 0.0, 0.0], [0.05, 0.0, 0.0], [0.0, 0.05, 0.0]])
     keys = jax.random.split(jax.random.PRNGKey(1), 3)
     from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle
-    outs = jax.jit(jax.vmap(lambda x0, k: _simulate_unicycle(sim, x0, k)))(
-        x0s, keys)
+    outs = jax.jit(jax.vmap(
+        lambda x0, k: _simulate_unicycle(sim, x0, k)[0]))(x0s, keys)
     assert outs.X.shape == (3, 30, 3)
     assert np.all(np.isfinite(np.asarray(outs.X)))
     # batched trajectories differ with initial state
@@ -168,7 +168,7 @@ def test_single_runner_matches_segmented_reference():
     Xs, Us = (jnp.concatenate([y[0] for y in ys], 0),
               jnp.concatenate([y[1] for y in ys], 0))
 
-    out = _simulate_unicycle(sim, x0, key)
+    out = _simulate_unicycle(sim, x0, key)[0]
     # the two program structures round differently at ~1e-15/step and the
     # closed loop amplifies that (measured: 3e-15 at t=1, 4.6e-8 by t=10);
     # schedule equality shows as agreement THROUGH the first fits — a
