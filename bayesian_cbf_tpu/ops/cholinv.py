@@ -33,11 +33,12 @@ from jax import custom_batching
 # None = auto (Pallas on TPU f32 under vmap); True/False force
 USE_PALLAS = None
 
-# n <= 512: the kernels auto-shrink their batch chunk so the VMEM
-# blocks fit the raised scoped budget (round 3; the old n<=256 cap was
-# the default 16M budget, not hardware).  Beyond 512 the recursion's
-# working values alone approach the budget — XLA handles those.
-_PALLAS_MAX_N = 512
+# n <= 1024: the kernels auto-shrink their batch chunk so the VMEM
+# blocks fit the raised scoped budget (the old n<=256 cap was the
+# default 16M budget, not hardware; n<=512 was round 3's conservative
+# margin).  At n=1024 the auto-chunk lands at 2 (7x N^2 f32 ~ 29 MB per
+# element) — validated on chip round 4 (records k1024_kernel_probe).
+_PALLAS_MAX_N = 1024
 
 # Which kernel the batched FIT inversion (kinv_logdet / gramsolve) uses:
 #   "chol"  (default): blocked-Cholesky kernel + Linv^T Linv.  The real

@@ -77,7 +77,11 @@ def _factor_block(D, tiny):
                       keepdims=True)                          # (CB, nb, 1)
         col = col * inv_s
         Lcol = col * (ri >= i).astype(f32)[None]              # (CB, nb, 1)
-        LcolT = jnp.swapaxes(Lcol, 1, 2)                      # (CB, 1, nb)
+        # the factored block stays symmetric to roundoff, so row i IS
+        # column i: build the row factor from the direct row read
+        # instead of transposing Lcol — a per-pivot sublane<->lane
+        # swapaxes was a measured VPU sink (round-4 fit profile)
+        LcolT = (rowi * inv_s) * (ci >= i).astype(f32)[None]  # (CB, 1, nb)
         gt_c = (ci > i).astype(f32)                           # (1, nb)
         # trailing rank-1 update on columns > i, then write column i = Lcol
         M = M - Lcol * LcolT * gt_c[None]
@@ -131,7 +135,7 @@ def _bmm(a, b, ta=False, tb=False):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _cholkinv_kernel(nblocks, nb, n, k_ref, kinv_ref, ld_ref):
+def _cholkinv_kernel(nblocks, nb, n, N, k_ref, kinv_ref, ld_ref):
     """Grid cell: (K^{-1}, logdet K) of a (CB, N, N) chunk ENTIRELY in
     VMEM — blocked Cholesky factorization, row-form Linv assembly on
     values, Kinv = Linv^T Linv as one MXU matmul, logdet from the factor
@@ -143,8 +147,14 @@ def _cholkinv_kernel(nblocks, nb, n, k_ref, kinv_ref, ld_ref):
     serial factor loop is cheap, the XLA assembly at 24 blocks wasn't)."""
     f32 = k_ref.dtype
     tiny = jnp.full((1, 1, 1), 1e-12, f32)
-    W = k_ref[:]                                              # (CB, N, N)
+    W = k_ref[:]                                              # (CB, n, n)
     CB = W.shape[0]
+    if n < N:
+        # identity-pad INSIDE the kernel: the XLA-side padded-matrix
+        # build was a measured 0.68 ms/Adam-iteration 51 MB HBM write
+        # (round-4 fit profile; same finding as the sweep kernel)
+        from .pallas_sweep import _identity_pad
+        W = _identity_pad(W, N, n)
     ri = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     eye_nb = (ri == ci.reshape(nb, 1).T).astype(f32)          # (nb, nb)
@@ -219,17 +229,18 @@ def _batched_kinv_logdet_chol_jit(K, interpret: bool, nb: int, chunk: int):
     Bp = max(_round_up(B, chunk), chunk)
     f32 = jnp.float32
 
-    Kp = jnp.zeros((Bp, N, N), f32)
-    Kp = Kp.at[:, jnp.arange(N), jnp.arange(N)].set(1.0)      # identity pad
-    Kp = Kp.at[:B, :n, :n].set(K.astype(f32))
+    Kp = K.astype(f32)
+    if Bp != B:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (Bp - B, n, n))
+        Kp = jnp.concatenate([Kp, eye], axis=0)
 
     grid = (Bp // chunk,)
     Kinv, ld = pl.pallas_call(
-        functools.partial(_cholkinv_kernel, nblocks, nb, n),
+        functools.partial(_cholkinv_kernel, nblocks, nb, n, N),
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((Bp, n, n), f32),
                    jax.ShapeDtypeStruct((Bp, 1, 128), f32)),
-        in_specs=[pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+        in_specs=[pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM),

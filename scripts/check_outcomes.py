@@ -339,6 +339,36 @@ def main():
             and (math.pi / 4 + math.pi / 8 - 0.05
                  < res["pendulum_ground_truth"]["theta_end"] < 1.45),
     })
+    # --- BATCHED pendulum outcomes (round-3 verdict 7: the rel-deg-2
+    # stack gets the same batched-kernel-path evidence the unicycle has)
+    from bayesian_cbf_tpu.experiments.pendulum import (
+        run_pendulum_online_batch)
+    bpsim = make_pendulum_online_sim(max_train=200, **learn_kw)
+    Bp_ = 64
+    th0 = jnp.asarray([7 * math.pi / 12, 0.0], jnp.float32)  # the
+    # reference episode start (pendulum.py:1041-1048), perturbed
+    px0s = th0[None, :] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), (Bp_, 2), jnp.float32)
+    pX, pU, pXdot, pinfo = run_pendulum_online_batch(bpsim, px0s)
+    pX = np.asarray(pX)
+    dmg = np.array([pendulum_damage_fraction(pX[b, :, 0])
+                    for b in range(Bp_)])
+    wdg = np.array([pendulum_wedge_fraction(pX[b, :, 0])
+                    for b in range(Bp_)])
+    res["pendulum_batched"] = {
+        "B": Bp_,
+        "mean_damage": round(float(dmg.mean()), 4),
+        "frac_damaged": round(float((dmg > 0).mean()), 4),
+        "mean_wedge_frac": round(float(wdg.mean()), 4),
+        "frac_wedge_gt_2pct": round(float((wdg > 0.02).mean()), 4),
+        "finite": bool(np.all(np.isfinite(pX))),
+        "feasible": round(float(np.mean(np.asarray(pinfo["feasible"]))), 4),
+    }
+    verdicts["pendulum_batched_safe"] = (
+        res["pendulum_batched"]["frac_damaged"] == 0.0
+        and res["pendulum_batched"]["frac_wedge_gt_2pct"] <= 0.05
+        and res["pendulum_batched"]["finite"])
+
     # --- Mosaic-vs-interpret kernel parity (round-3 directive 3) ---
     kp = kernel_parity_checks()
     res["kernel_parity"] = kp

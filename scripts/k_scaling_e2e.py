@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "records", "tpu_round3.jsonl")
+                   "records", "tpu_round4.jsonl")
 
 
 def _wait_for_backend(attempts=10, sleep_s=60):
@@ -49,8 +49,13 @@ def main():
     warm = int(os.environ.get("K_SCALING_WARM", "0"))
     num_steps = 2000
     train_every = 400
+    # rows as "k:batch" pairs; the k=1024 row exercises the raised
+    # kernel cap (cholinv._PALLAS_MAX_N, round-4 directive 5)
+    row_spec = os.environ.get("K_SCALING_ROWS",
+                              "200:256,384:64,512:64,1024:16")
     rows = []
-    for max_train, batch in ((200, 256), (384, 64), (512, 64)):
+    for max_train, batch in (tuple(int(v) for v in r.split(":"))
+                             for r in row_spec.split(",")):
         sim = make_ackermann_tracking_sim(
             dt=0.001, numSteps=num_steps, true_L=1.0, mean_L=12.0,
             kernel_diag_A=(1.0, 1.0, 1.0), max_risk=0.01,
