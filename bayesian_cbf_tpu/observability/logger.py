@@ -43,18 +43,26 @@ class MetricsLogger:
 
     def __init__(self, runs_dir="data/runs", exp_tags=(), config=None,
                  stamp: Optional[str] = None, backend: str = "jsonl"):
-        """backend="jsonl" (default, human-readable) or "binary" — the
+        """backend="jsonl" (default, human-readable), "binary" — the
         native fastlog writer (observability/fastlog.py): same channel
-        set, ~binary-frame speed for big batched rollouts."""
+        set, ~binary-frame speed for big batched rollouts — or
+        "tensorboard": tfevents files the reference's own loaders /
+        tensorboard consume directly (observability/tbwriter.py; the
+        reference's artifact format, misc.py:320-405)."""
         stamp = stamp or time.strftime("%Y%m%d-%H%M%S")
         name = "_".join(list(exp_tags) + [stamp])
         self.dir = osp.join(runs_dir, name)
         os.makedirs(self.dir, exist_ok=True)
         self.backend = backend
         self._fl = None
+        self._tb = None
         if backend == "binary":
             from .fastlog import FastLogWriter
             self._fl = FastLogWriter(osp.join(self.dir, "metrics.flog"))
+            self._fh = None
+        elif backend == "tensorboard":
+            from .tbwriter import TensorboardWriter
+            self._tb = TensorboardWriter(self.dir)
             self._fh = None
         else:
             self._fh = open(osp.join(self.dir, "metrics.jsonl"), "a")
@@ -80,6 +88,13 @@ class MetricsLogger:
     def add_scalar(self, tag, value, step):
         if self._fl is not None:
             self._fl.write(tag, step, value)
+            return
+        if self._tb is not None:
+            v = np.asarray(_to_host(value))
+            if v.ndim == 0:
+                self._tb.add_scalar(tag, v, step)
+            else:
+                self._tb.add_tensor(tag, v, step)
             return
         self._fh.write(json.dumps(
             {"tag": tag, "step": int(step), "value": _to_host(value)}) + "\n")
@@ -143,10 +158,10 @@ class MetricsLogger:
         self.flush()
 
     def flush(self):
-        (self._fl or self._fh).flush()
+        (self._fl or self._tb or self._fh).flush()
 
     def close(self):
-        (self._fl or self._fh).close()
+        (self._fl or self._tb or self._fh).close()
 
 
 def version_stamp() -> str:

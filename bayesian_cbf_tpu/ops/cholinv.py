@@ -41,7 +41,14 @@ USE_PALLAS = None
 _PALLAS_MAX_N = 1024
 
 # Which kernel the batched FIT inversion (kinv_logdet / gramsolve) uses:
-#   "chol"  (default): blocked-Cholesky kernel + Linv^T Linv.  The real
+#   "cholk" (default): ONE Pallas call — blocked-Cholesky factor +
+#           row-form Linv assembly + Linv^T Linv + logdet, all on VMEM
+#           values.  Same trailing-update arithmetic as "chol" (so the
+#           same Cholesky-class stability on the kappa~1e6 trajectory
+#           Grams, resid ~8e-3) without the per-Adam-iteration L/Dinv
+#           HBM round-trips and XLA assembly dispatches: 9.8 -> 5.3
+#           ms/Adam-iter at (256, 200) on chip (round 4).
+#   "chol": blocked-Cholesky kernel + XLA-side assembly.  The real
 #           flagship fit Grams are trajectory-correlated and sit at
 #           kappa ~ 1e6 in f32 (relative-nugget floor vs a ~200x diag
 #           spread); Cholesky's trailing updates work on original data
@@ -56,7 +63,7 @@ _PALLAS_MAX_N = 1024
 #           mean-goal-distance 0.53 -> 2.81 regression
 #           (records/tpu_round3.jsonl, flagship_monte_carlo_1024).
 #           Tests pin the failure: tests/test_fit_inverse.py.
-FIT_INVERSE = "chol"
+FIT_INVERSE = "cholk"
 
 
 def _ref_fwd(K):
@@ -168,12 +175,16 @@ def _kinv_logdet_ref(K):
     return Kinv, logdet
 
 
-# factorization block / batch chunk for the fit-path Cholesky kernel
-# (0 = the kernel defaults); exposed for on-chip tuning — smaller
-# blocks cut the serial factor loop's sublane footprint, larger chunks
-# amortize its per-op overhead (the sweep-kernel lessons)
+# factorization block / batch chunk for the fit-path Cholesky kernels
+# (0 = the per-kind defaults below); exposed for on-chip tuning —
+# smaller blocks cut the serial factor loop's sublane footprint, larger
+# chunks amortize its per-op overhead (the sweep-kernel lessons)
 FIT_CHOL_NB = 0
 FIT_CHOL_CHUNK = 0
+# cholk defaults, on-chip A/B round 4 (ms/Adam-iter at (256, 200)):
+# nb 32/16 at chunk 32 = 6.13/5.29; chunk 16 vs 32 at nb 32 = 7.86/6.13
+CHOLK_NB = 16
+CHOLK_CHUNK = 32
 FIT_CHOL_ASSEMBLY = ""   # "" = kernel default (row); "col" = legacy A/B
 
 
@@ -193,8 +204,8 @@ def batched_kinv_logdet_fit(K3, interpret: bool = False):
         # per-iteration L/Dinv HBM round-trips and XLA assembly
         from .pallas_chol import batched_kinv_logdet_chol
         return batched_kinv_logdet_chol(K3, interpret=interpret,
-                                        nb=FIT_CHOL_NB,
-                                        chunk=FIT_CHOL_CHUNK)
+                                        nb=FIT_CHOL_NB or CHOLK_NB,
+                                        chunk=FIT_CHOL_CHUNK or CHOLK_CHUNK)
     if FIT_INVERSE == "chol":
         from .pallas_chol import batched_chol_with_inv
         L, Linv = batched_chol_with_inv(K3, interpret=interpret,

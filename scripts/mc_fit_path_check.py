@@ -29,8 +29,9 @@ import numpy as np
 
 def main():
     n = int(os.environ.get("MC_EPISODES", "256"))
-    variants = os.environ.get("MC_FIT_VARIANTS", "chol,sweep").split(",")
+    variants = os.environ.get("MC_FIT_VARIANTS", "cholk,sweep").split(",")
     from bayesian_cbf_tpu.ops import cholinv
+    default = cholinv.FIT_INVERSE
     from bayesian_cbf_tpu.experiments.montecarlo import monte_carlo_unicycle
     from bayesian_cbf_tpu.experiments.unicycle import STATE_GOAL
 
@@ -57,7 +58,7 @@ def main():
             "finite": bool(np.all(np.isfinite(X))),
             "wall_s_incl_compile": round(time.time() - t0, 1),
         }), flush=True)
-    cholinv.FIT_INVERSE = "chol"
+    cholinv.FIT_INVERSE = default
 
 
 if __name__ == "__main__":

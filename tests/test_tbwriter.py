@@ -1,0 +1,53 @@
+"""tfevents WRITE interop (observability/tbwriter.py): what we write,
+the reference's own tooling can read.
+
+Round-trips scalars and TensorProto tensor summaries through
+tensorboard's event_file_loader — the same loader family the
+reference's load_tensorboard_scalars / stream_tensorboard_scalars use
+(bayes_cbf/misc.py:343-359) and that scripts/trigger_parity_study.py
+uses to read the reference's committed runs."""
+import numpy as np
+import pytest
+
+tb = pytest.importorskip("tensorboard")
+
+
+def test_tfevents_roundtrip(tmp_path):
+    from bayesian_cbf_tpu.observability.tbwriter import (
+        TensorboardWriter, load_tensorboard_scalars)
+
+    d = str(tmp_path / "run")
+    w = TensorboardWriter(d)
+    w.add_scalar("opt/rho", 2.33, 0)
+    w.add_scalar("opt/rho", 2.31, 1)
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    w.add_tensor("vis/state", arr, 5)
+    w.close()
+
+    got = load_tensorboard_scalars(d)
+    assert [s for s, _ in got["opt/rho"]] == [0, 1]
+    np.testing.assert_allclose([v for _, v in got["opt/rho"]],
+                               [2.33, 2.31], rtol=1e-6)
+    step, tensor = got["vis/state"][0]
+    assert step == 5
+    np.testing.assert_array_equal(tensor, arr)
+
+
+def test_metrics_logger_tensorboard_backend(tmp_path):
+    from bayesian_cbf_tpu.observability.logger import MetricsLogger
+    from bayesian_cbf_tpu.observability.tbwriter import (
+        load_tensorboard_scalars)
+
+    lg = MetricsLogger(runs_dir=str(tmp_path), exp_tags=("tb",),
+                       backend="tensorboard",
+                       config={"max_risk": 0.01})
+    lg.add_scalar("opt/value", 1.5, 0)
+    lg.add_tensor("vis/uopt", np.array([0.1, -0.2], np.float32), 0)
+    lg.close()
+
+    got = load_tensorboard_scalars(lg.dir)
+    assert got["opt/value"][0][1] == pytest.approx(1.5)
+    np.testing.assert_allclose(got["vis/uopt"][0][1], [0.1, -0.2])
+    import os, json
+    cfg = json.load(open(os.path.join(lg.dir, "config.json")))
+    assert cfg["max_risk"] == 0.01 and "_version" in cfg
