@@ -234,3 +234,54 @@ def test_cvxopt_documentation_example():
     np.testing.assert_allclose(z[0, :3], [1.34, -0.0763, -1.34], atol=5e-3)
     np.testing.assert_allclose(z[1, :4], [1.02, 0.402, 0.780, -0.517],
                                atol=5e-3)
+
+
+def test_controller_cones_match_stored_oracle():
+    """Stored independent oracle on the CONTROLLER'S exact cone
+    structures (12 problems captured from a real learning episode:
+    objective epigraph + CLC + 2 CBC chance cones, 4 vars, 4x4-dim
+    cones).  x_expected was computed OFFLINE by scipy SLSQP f64 — an
+    independent algorithm family — via scripts/make_socp_oracle.py.
+    Besides matching the stored optimum, an optimality certificate is
+    verified in plain numpy on the raw cone data: primal feasibility,
+    dual cone membership, stationarity, and complementarity.  Plays the
+    role of the reference's GUROBI/cvxopt ground truth
+    (bayes_cbf/optimizers.py:91-102, tests/test_optimizers.py:6-119)."""
+    import os
+    data = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                "socp_oracle.npz"))
+    dims = tuple(int(d) for d in data["dims"])
+    for i in range(data["c"].shape[0]):
+        c = jnp.asarray(data["c"][i])
+        G = jnp.asarray(data["G"][i])
+        h = jnp.asarray(data["h"][i])
+        sol = solve_socp(c, G, h, dims, iters=40)
+        x = np.asarray(sol.x, np.float64)
+        xe = data["x_expected"][i]
+        scale = max(1.0, float(np.max(np.abs(xe))))
+        assert np.max(np.abs(x - xe)) < 2e-4 * scale, (i, x, xe)
+        assert abs(float(sol.pcost) - data["cost_expected"][i]) \
+            < 2e-4 * scale
+
+        # independent numpy optimality certificate
+        cn, Gn, hn = (np.asarray(a, np.float64) for a in (c, G, h))
+        z = np.asarray(sol.z, np.float64)
+        s = np.asarray(sol.s, np.float64)
+        o = 0
+        stat = cn.copy()
+        for j, d in enumerate(dims):
+            Gj, hj = Gn[o:o + d], hn[o:o + d]
+            sj = hj - Gj @ x
+            # primal feasibility and slack consistency
+            assert sj[0] >= -1e-6 * scale
+            assert sj[0] + 1e-6 * scale >= np.linalg.norm(sj[1:])
+            zj = z[j, :d]
+            # dual cone membership (inactive cones carry ~1e-8 dual
+            # noise, so the tolerance is absolute at solver precision)
+            assert zj[0] >= np.linalg.norm(zj[1:]) - 1e-6
+            # complementarity
+            assert abs(sj @ zj) < 1e-4 * scale
+            stat = stat + Gj.T @ zj
+            o += d
+        # stationarity: c + sum G_j^T z_j = 0
+        assert np.max(np.abs(stat)) < 1e-4 * max(1.0, np.max(np.abs(cn)))
