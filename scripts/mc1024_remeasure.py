@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Definitive flagship MC-1024 record (round-3 verdict 4: the two
+round-3 records disagreed 2x in wall — 50.9 s vs 104.8 s incl compile —
+with no explanation).  This run separates COMPILE+first-execution from
+steady-state wall (second invocation of the same jitted program), which
+is the quantity a throughput claim should cite; the compile share is
+where the earlier 2x lived (the warm-budget default compiles a SECOND
+fit program, and the chol fit path is a bigger program than the sweep
+the 50.9 s run used).
+
+Appends one JSON line to records/tpu_round4.jsonl.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+import jax.numpy as jnp
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "records", "tpu_round4.jsonl")
+
+
+def main():
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        make_ackermann_tracking_sim, STATE_START, STATE_GOAL)
+    from bayesian_cbf_tpu.sim.rollout import _simulate_unicycle_batch
+    from bayesian_cbf_tpu.parallel.mesh import rollout_safety_stats
+    from bayesian_cbf_tpu.ops import cholinv
+
+    n = int(os.environ.get("MC_N", "1024"))
+    warm = int(os.environ.get("MC_WARM", "10"))
+    sim = make_ackermann_tracking_sim(
+        dt=0.001, numSteps=2000, true_L=1.0, mean_L=12.0,
+        kernel_diag_A=(1.0, 1.0, 1.0), max_risk=0.01,
+        enable_learning=True, train_every_n_steps=400,
+        max_train=200, training_iter=100, socp_iters=25,
+        warm_start=True, socp_iters_warm=15, training_iter_warm=warm)
+    x0 = jnp.asarray(STATE_START, jnp.float32)
+    x0s = x0[None, :] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (n, 3), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+
+    run = jax.jit(lambda a, k: _simulate_unicycle_batch(sim, a, k))
+    t0 = time.time()
+    out = run(x0s, keys)
+    float(jnp.sum(out.X))
+    first = time.time() - t0
+    t0 = time.perf_counter()
+    out = run(x0s, keys)
+    float(jnp.sum(out.X))
+    steady = time.perf_counter() - t0
+
+    centers = jnp.stack([c.center for c in sim.cbfs])
+    radii = jnp.stack([jnp.asarray(c.radius) for c in sim.cbfs])
+    stats = rollout_safety_stats(out, centers, radii,
+                                 jnp.asarray(STATE_GOAL))
+    gd = jnp.linalg.norm(out.X[:, -1, :2] - jnp.asarray(STATE_GOAL)[:2],
+                         axis=-1)
+    rec = {
+        "item": "flagship_monte_carlo_1024_definitive",
+        "episodes": n, "steps": 2000, "max_train": 200,
+        "fit_inverse": cholinv.FIT_INVERSE, "training_iter_warm": warm,
+        "collision_fraction": round(float(stats["collision_fraction"]), 5),
+        "mean_goal_distance": round(float(stats["mean_goal_distance"]), 4),
+        "frac_goal_lt_1": round(float(jnp.mean(gd < 1.0)), 4),
+        "min_clearance": round(float(stats["min_clearance"]), 4),
+        "feasible_frac": round(float(stats["feasible_fraction"]), 4),
+        "finite": bool(jnp.all(jnp.isfinite(out.X))),
+        "compile_plus_first_s": round(first, 1),
+        "steady_state_wall_s": round(steady, 2),
+        "steps_per_sec_steady": round(n * 2000 / steady, 1),
+        "steps_per_sec_incl_compile": round(n * 2000 / first, 1),
+    }
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
