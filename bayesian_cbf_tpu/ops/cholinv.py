@@ -33,12 +33,19 @@ from jax import custom_batching
 # None = auto (Pallas on TPU f32 under vmap); True/False force
 USE_PALLAS = None
 
-# n <= 1024: the kernels auto-shrink their batch chunk so the VMEM
-# blocks fit the raised scoped budget (the old n<=256 cap was the
-# default 16M budget, not hardware; n<=512 was round 3's conservative
-# margin).  At n=1024 the auto-chunk lands at 2 (7x N^2 f32 ~ 29 MB per
-# element) — validated on chip round 4 (records k1024_kernel_probe).
+# FIT-path kernels: n <= 1024 (auto-chunk shrinks the batch chunk so
+# the VMEM blocks fit the raised scoped budget; at n=1024 it lands at
+# 2).  Validated on chip round 4 (records k1024_kernel_probe: cholk
+# resid 0.031 at kappa 2.7e6, ld err 0.014, 37.6 ms at B=8).
 _PALLAS_MAX_N = 1024
+# REFRESH-path factor kernel (chol_with_inv -> posterior cache): the
+# XLA-SIDE row-form Linv assembly loses accuracy at large n x high
+# kappa (measured n=1024: resid ~38-50 for nb 16/32 vs 0.028 for XLA
+# chol+trsm and 0.031 for the cholk kernel's IN-kernel assembly), so
+# the factor kernel dispatch stays capped at 512 and larger sizes fall
+# back to XLA's backward-stable triangular solve (records
+# k1024_refresh_assembly_ab).
+_PALLAS_MAX_N_FACTOR = 512
 
 # Which kernel the batched FIT inversion (kinv_logdet / gramsolve) uses:
 #   "cholk" (default): ONE Pallas call — blocked-Cholesky factor +
@@ -80,12 +87,12 @@ def _chol_inv_core(K):
     return _ref_fwd(K)
 
 
-def _want_pallas(K):
+def _want_pallas(K, max_n=None):
     use = USE_PALLAS
     if use is None:
         use = (jax.default_backend() == "tpu"
                and K.dtype == jnp.float32
-               and K.shape[-1] <= _PALLAS_MAX_N)
+               and K.shape[-1] <= (max_n or _PALLAS_MAX_N))
     return use
 
 
@@ -94,7 +101,7 @@ def _chol_inv_vmap_rule(axis_size, in_batched, K):
     if not in_batched[0]:
         # unbatched operand under vmap: compute once, mark unbatched
         return _ref_fwd(K), (False, False)
-    if _want_pallas(K) and K.ndim >= 3:
+    if _want_pallas(K, _PALLAS_MAX_N_FACTOR) and K.ndim >= 3:
         from .pallas_chol import batched_chol_with_inv
         # the kernel wants exactly one batch dim; collapse nested vmap
         # levels (K can be >3-D when this op sits under stacked vmaps)
