@@ -41,11 +41,10 @@ _PALLAS_MAX_N = 1024
 # REFRESH-path factor kernel (chol_with_inv -> posterior cache): the
 # XLA-SIDE row-form Linv assembly loses accuracy at large n x high
 # kappa (measured n=1024: resid ~38-50 for nb 16/32 vs 0.028 for XLA
-# chol+trsm and 0.031 for the cholk kernel's IN-kernel assembly), so
-# the factor kernel dispatch stays capped at 512 and larger sizes fall
-# back to XLA's backward-stable triangular solve (records
-# k1024_refresh_assembly_ab).
-_PALLAS_MAX_N_FACTOR = 512
+# chol+trsm and 0.031 for IN-kernel assembly; records
+# k1024_refresh_assembly_ab) — with the round-4 assembly="kernel"
+# default the refresh path shares the fit path's accuracy and cap.
+_PALLAS_MAX_N_FACTOR = 1024
 
 # Which kernel the batched FIT inversion (kinv_logdet / gramsolve) uses:
 #   "cholk" (default): ONE Pallas call — blocked-Cholesky factor +

@@ -24,15 +24,17 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Linv assembly form: "row" builds block row r with TWO large batched
-# matmuls (Linv[r, :r] = -Dinv_r @ (L[r, :r] @ Linv[:r, :r]) — valid
-# because Linv[k, j] = 0 above the diagonal, so summing k over the FULL
-# 0..r-1 range equals the triangular-substitution range j..r-1); "col"
-# is the legacy per-(r, j) block substitution whose inner accumulation
-# emits O(nblocks^2) lane-padded (B, nb, nb) matmuls (~56 dispatches at
-# n=224/nb=32) — the latency sink the row form removes.  Same math,
-# different association; numerics-gated like any fit-path change.
-LINV_ASSEMBLY = "row"
+# Linv assembly form: "kernel" (default, round 4) assembles the
+# triangular inverse INSIDE the Pallas kernel on VMEM values — accurate
+# at large n x high kappa where the XLA-side forms are not (n=1024,
+# kappa 2.7e6: resid 0.031 vs 38-50; records k1024_refresh_assembly_ab)
+# and free of per-call L/Dinv HBM round-trips.  "row" builds block row
+# r on the XLA side with TWO large batched matmuls (valid because
+# Linv[k, j] = 0 above the diagonal, so summing k over the FULL 0..r-1
+# range equals the triangular-substitution range); "col" is the legacy
+# per-(r, j) block substitution (an O(nblocks^2) dispatch storm).  Same
+# math, different association; numerics-gated like any fit-path change.
+LINV_ASSEMBLY = "kernel"
 
 NB_BLK = 32       # factorization block.  On-chip fused-fit A/B at the
                   # flagship shape (B=256, k=200): nb=32 9.7 ms/Adam-iter
@@ -135,64 +137,79 @@ def _bmm(a, b, ta=False, tb=False):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _cholkinv_kernel(nblocks, nb, n, N, k_ref, kinv_ref, ld_ref):
-    """Grid cell: (K^{-1}, logdet K) of a (CB, N, N) chunk ENTIRELY in
-    VMEM — blocked Cholesky factorization, row-form Linv assembly on
-    values, Kinv = Linv^T Linv as one MXU matmul, logdet from the factor
-    diagonals.  Same arithmetic as the `batched_chol_with_inv` kernel +
-    the XLA-side row assembly it previously required, but the L/Dinv
-    blocks never round-trip through HBM and the nblocks-1 assembly steps
-    cost VMEM copies instead of dispatched XLA concats — which is what
-    made small nb lose before (records fit_chol_nb_small_ab: the nb=8
-    serial factor loop is cheap, the XLA assembly at 24 blocks wasn't)."""
-    f32 = k_ref.dtype
+def _factor_assemble(W, nblocks, nb, N, n, l_ref=None):
+    """Shared body: blocked factorization of a (CB, n|N, n|N) VMEM value
+    + row-form Linv assembly on values.  Returns (top = Linv (CB, N, N),
+    ld (CB, 1, 1)).  When l_ref is given, the L pieces are written into
+    it during the loop (the refresh path wants the factor too)."""
+    f32 = W.dtype
     tiny = jnp.full((1, 1, 1), 1e-12, f32)
-    W = k_ref[:]                                              # (CB, n, n)
     CB = W.shape[0]
-    if n < N:
-        # identity-pad INSIDE the kernel: the XLA-side padded-matrix
-        # build was a measured 0.68 ms/Adam-iteration 51 MB HBM write
-        # (round-4 fit profile; same finding as the sweep kernel)
+    if W.shape[1] < N:
         from .pallas_sweep import _identity_pad
-        W = _identity_pad(W, N, n)
+        W = _identity_pad(W, N, W.shape[1])
     ri = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    eye_nb = (ri == ci.reshape(nb, 1).T).astype(f32)          # (nb, nb)
+    eye_nb = (ri == ci.reshape(nb, 1).T).astype(f32)
     ld = jnp.zeros((CB, 1, 1), f32)
-    lps = []             # per block j: sub-diagonal panel P @ Xj^T, a VALUE
-    xs = []              # Xj = Lj^{-1} values
+    lps = []
+    xs = []
     for j in range(nblocks):
+        o = j * nb
         D = W[:, :nb, :nb]
         Lj, Xj = _factor_block(D, tiny)
-        diag = jnp.sum(Lj * eye_nb[None], axis=2,
-                       keepdims=True)                         # (CB, nb, 1)
+        diag = jnp.sum(Lj * eye_nb[None], axis=2, keepdims=True)
         ld = ld + 2.0 * jnp.sum(
             jnp.log(jnp.maximum(diag, jnp.full_like(diag, 1e-20))),
             axis=1, keepdims=True)
         xs.append(Xj)
+        if l_ref is not None:
+            l_ref[:, o:o + nb, o:o + nb] = Lj
         if j + 1 < nblocks:
             P = W[:, nb:, :nb]
-            Lp = _bmm(P, Xj, tb=True)                         # P @ Xj^T
-            lps.append(Lp)                                    # rows (j+1)nb..N
+            Lp = _bmm(P, Xj, tb=True)
+            lps.append(Lp)
+            if l_ref is not None:
+                l_ref[:, o + nb:, o:o + nb] = Lp
             W = W[:, nb:, nb:] - _bmm(Lp, Lp, tb=True)
         else:
             lps.append(None)
-    # row-form Linv assembly on values (valid because Linv is lower
-    # triangular — summing k over the FULL 0..r-1 block range equals the
-    # substitution range; see LINV_ASSEMBLY docstring).  Row band r of
-    # column block j < r lives in lps[j] local rows (r-j-1)*nb.. — the
-    # diagonal Lj blocks are never concatenated with panel pieces (their
-    # sliced-operand lane offsets are what Mosaic's concat rejects).
     top = xs[0]
     for r in range(1, nblocks):
         Lrow = jnp.concatenate(
             [lps[j][:, (r - j - 1) * nb:(r - j) * nb, :]
-             for j in range(r)], axis=2)                      # (CB, nb, r*nb)
+             for j in range(r)], axis=2)
         new = -_bmm(xs[r], _bmm(Lrow, top))
         o = r * nb
         top = jnp.concatenate([
             jnp.concatenate([top, jnp.zeros((CB, o, nb), f32)], axis=2),
             jnp.concatenate([new, xs[r]], axis=2)], axis=1)
+    return top, ld
+
+
+def _chol_linv_kernel(nblocks, nb, n, N, k_ref, l_ref, linv_ref):
+    """Grid cell for the REFRESH path: (L, Linv) with the triangular
+    inverse assembled IN-kernel on VMEM values — the XLA-side row
+    assembly loses accuracy at large n x high kappa (measured n=1024:
+    resid 38-50 vs 0.031 in-kernel; records k1024_refresh_assembly_ab)
+    and pays per-call HBM round-trips."""
+    l_ref[:] = jnp.zeros_like(l_ref)
+    top, _ = _factor_assemble(k_ref[:], nblocks, nb, N, n, l_ref=l_ref)
+    linv_ref[:] = top[:, :n, :n]
+
+
+def _cholkinv_kernel(nblocks, nb, n, N, k_ref, kinv_ref, ld_ref):
+    """Grid cell: (K^{-1}, logdet K) of a (CB, N, N) chunk ENTIRELY in
+    VMEM — blocked Cholesky factorization, row-form Linv assembly on
+    values (see _factor_assemble), Kinv = Linv^T Linv as one MXU matmul,
+    logdet from the factor diagonals.  Same arithmetic as the
+    `batched_chol_with_inv` kernel + the XLA-side row assembly it
+    previously required, but the L/Dinv blocks never round-trip through
+    HBM and the nblocks-1 assembly steps cost VMEM copies instead of
+    dispatched XLA concats — which is what made small nb lose before
+    (records fit_chol_nb_small_ab: the nb=8 serial factor loop is
+    cheap, the XLA assembly at 24 blocks wasn't)."""
+    top, ld = _factor_assemble(k_ref[:], nblocks, nb, N, n)
     Kinv = _bmm(top, top, ta=True)                            # Linv^T Linv
     kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
@@ -268,8 +285,52 @@ def batched_chol_with_inv(K, interpret: bool = False, nb: int = 0,
     trace — the round-3 sweep-base confound)."""
     nb = int(nb) if nb else NB_BLK
     assembly = assembly or LINV_ASSEMBLY
+    if assembly == "kernel":
+        return _batched_chol_linv_kernel_jit(K, interpret, nb, int(chunk))
     return _batched_chol_with_inv_jit(K, interpret, nb, int(chunk),
                                       assembly)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nb", "chunk"))
+def _batched_chol_linv_kernel_jit(K, interpret: bool, nb: int, chunk: int):
+    """(L, Linv) with the triangular-inverse assembly IN-kernel on VMEM
+    values (assembly="kernel"): accurate where the XLA-side row form
+    is not (n=1024 x kappa 2.7e6: resid 0.031 vs 38-50; records
+    k1024_refresh_assembly_ab) and free of the per-call L/Dinv HBM
+    round-trips."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = K.shape
+    N = max(_round_up(n, nb), nb)
+    nblocks = N // nb
+    from .pallas_sweep import _auto_chunk, VMEM_LIMIT
+    chunk = min(chunk or CHUNK, _auto_chunk(N, extra_bytes_per_elem=N * N))
+    Bp = max(_round_up(B, chunk), chunk)
+    f32 = jnp.float32
+
+    Kp = K.astype(f32)
+    if Bp != B:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (Bp - B, n, n))
+        Kp = jnp.concatenate([Kp, eye], axis=0)
+
+    grid = (Bp // chunk,)
+    L, Linv = pl.pallas_call(
+        functools.partial(_chol_linv_kernel, nblocks, nb, n, N),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((Bp, N, N), f32),
+                   jax.ShapeDtypeStruct((Bp, n, n), f32)),
+        in_specs=[pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((chunk, n, n), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(Kp)
+    return (L[:B, :n, :n].astype(K.dtype), Linv[:B].astype(K.dtype))
 
 
 @functools.partial(jax.jit,
