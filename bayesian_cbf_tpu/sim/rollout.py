@@ -155,6 +155,16 @@ def scan_with_scheduled_fits(step_fn, fit_fn, carry, numSteps: int,
     runs `fit_fn` and every later one runs `fit_fn_warm` — the
     warm-started reduced-budget refit knob
     (LearnedShiftInvariantDynamics.training_iter_warm).
+
+    Known edge (documented, not reachable at any real config): the
+    first/warm split keys on the EVENT index (t == train_every), not on
+    "has a fit actually run".  If the t == train_every event were
+    skipped by the count_res > 0 guard, the first real fit would run the
+    warm budget.  The reservoir accepts a residual every step from t=1
+    on (models/dynamics.py `append_residual`: accept == have_prev while
+    below capacity), so count_res >= 1 at every t >= 1 and the skip can
+    never fire for train_every >= 1.  If a future sampler can reject
+    early residuals, switch this dispatch to a has-fit flag in the carry.
     """
     do_sched = enable and train_every > 0
 
@@ -279,7 +289,10 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
             # first fit event spends the full Adam budget; later ones are
             # warm-started (params persist across fits, matching the
             # reference's reused torch module) and may use the reduced
-            # training_iter_warm budget
+            # training_iter_warm budget.  Keyed on the event index, not
+            # "has fit yet" — safe for the same reason as
+            # scan_with_scheduled_fits (count_res >= 1 at every event;
+            # see its docstring's known-edge note)
             fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
             fitted = jax.vmap(fit)(states)
             states = _where_tree(states.count_res > 0, fitted, states)
