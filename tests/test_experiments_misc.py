@@ -145,3 +145,25 @@ def test_learned_dynamics_contours_figure(tmp_path):
     import os
     assert os.path.exists(out)
     assert len(fig.axes) >= 12       # 3 rows x 4 cols (+ colorbars)
+
+
+def test_no_obstacle_config_runs():
+    """The empty-obstacle configuration must still run end-to-end: the
+    controller's no-CBC path (CLF cone + objective only — cbf_gammas
+    lives in the controller closure, so `sim._replace(cbfs=())` is the
+    supported construction) produces finite, mostly-feasible rollouts.
+    Pins the variant scripts/rollout_phase_split.py measures and the
+    reference's obstacle-free tracking mode
+    (bayes_cbf/unicycle_move_to_pose.py:1689-1734 with no obstacles)."""
+    from bayesian_cbf_tpu.experiments.unicycle import (
+        make_ackermann_tracking_sim, STATE_START)
+    from bayesian_cbf_tpu.sim.rollout import simulate_unicycle
+    sim = make_ackermann_tracking_sim(numSteps=30, dt=0.01, max_train=8,
+                                      training_iter=2,
+                                      train_every_n_steps=10,
+                                      socp_iters=10)
+    sim = sim._replace(cbfs=())
+    out = simulate_unicycle(sim, STATE_START)
+    assert bool(jnp.all(jnp.isfinite(out.X)))
+    assert bool(jnp.all(jnp.isfinite(out.U)))
+    assert float(jnp.mean(out.info.feasible)) > 0.9
