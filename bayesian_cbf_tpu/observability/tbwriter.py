@@ -59,10 +59,13 @@ class TensorboardWriter:
         shape = self._shape_pb2.TensorShapeProto(
             dim=[self._shape_pb2.TensorShapeProto.Dim(size=int(d))
                  for d in arr.shape])
+        # float_val (repeated field), NOT tensor_content: the reference's
+        # readers (misc.py:348-350 stream_tensorboard_scalars) reshape
+        # tensor.float_val only and would see an empty array otherwise.
         tp = self._tensor_pb2.TensorProto(
             dtype=1,  # DT_FLOAT — the reference logs float32 tensors
             tensor_shape=shape,
-            tensor_content=arr.tobytes())
+            float_val=arr.reshape(-1).tolist())
         s = self._summary_pb2.Summary()
         s.value.add(tag=str(tag), tensor=tp)
         self._emit(s, step)

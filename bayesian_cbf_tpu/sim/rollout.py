@@ -207,7 +207,9 @@ def simulate_unicycle_with_state(sim: UnicycleSim, x0, key=None):
     inspect the learned model at episode end."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    fn = jax.jit(lambda x0_, key_: _simulate_unicycle(sim, x0_, key_))
+    fn = _cached_sim_jit(
+        sim, "episode_with_state",
+        lambda: (lambda x0_, key_: _simulate_unicycle(sim, x0_, key_)))
     return fn(jnp.asarray(x0), key)
 
 
@@ -318,18 +320,27 @@ _SIM_CACHE: "OrderedDict" = OrderedDict()
 _SIM_CACHE_MAX = 8
 
 
+def _cached_sim_jit(sim, tag, make_fn):
+    """Per-(sim, tag) jitted-runner cache: same sim object -> same
+    compiled executable, never a fresh jit closure per call."""
+    k = (id(sim), tag)
+    entry = _SIM_CACHE.get(k)
+    if entry is None or entry[0] is not sim:
+        fn = jax.jit(make_fn())
+        _SIM_CACHE[k] = (sim, fn)
+        while len(_SIM_CACHE) > _SIM_CACHE_MAX:
+            _SIM_CACHE.popitem(last=False)
+    else:
+        _SIM_CACHE.move_to_end(k)
+        fn = entry[1]
+    return _SIM_CACHE[k][1]
+
+
 def simulate_unicycle(sim: UnicycleSim, x0, key=None) -> RolloutOutputs:
     """Run the full episode as one jitted lax.scan."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    entry = _SIM_CACHE.get(id(sim))
-    if entry is None or entry[0] is not sim:
-        fn = jax.jit(
-            lambda x0_, key_: _simulate_unicycle(sim, x0_, key_)[0])
-        _SIM_CACHE[id(sim)] = (sim, fn)
-        while len(_SIM_CACHE) > _SIM_CACHE_MAX:
-            _SIM_CACHE.popitem(last=False)
-    else:
-        _SIM_CACHE.move_to_end(id(sim))
-        fn = entry[1]
-    return _SIM_CACHE[id(sim)][1](jnp.asarray(x0), key)
+    fn = _cached_sim_jit(
+        sim, "episode",
+        lambda: (lambda x0_, key_: _simulate_unicycle(sim, x0_, key_)[0]))
+    return fn(jnp.asarray(x0), key)

@@ -154,7 +154,7 @@ def kernel_parity_checks():
     hs = np.concatenate([
         np.concatenate([np.zeros((Bi, 1), np.float32), b0], 1),
         np.concatenate([1.5 * np.ones((Bi, 1), np.float32), w,
-                        np.zeros((Bi, 2), np.float32)], 1)], axis=1)
+                        np.zeros((Bi, 1), np.float32)], 1)], axis=1)
     dims = (m + 2, m + 2)
     G = jnp.asarray(Gs)
     h = jnp.asarray(hs)

@@ -33,6 +33,35 @@ def test_tfevents_roundtrip(tmp_path):
     np.testing.assert_array_equal(tensor, arr)
 
 
+def test_tensor_summary_readable_via_float_val_only(tmp_path):
+    """The reference's own loaders read ONLY tensor.float_val
+    (bayes_cbf/misc.py:348-350): emulate that reader exactly and assert
+    our tensor summaries survive it — tensor_content-encoded files do
+    not (they reshape an empty float_val and raise)."""
+    from bayesian_cbf_tpu.observability.tbwriter import TensorboardWriter
+    from tensorboard.backend.event_processing import event_file_loader
+    import os
+
+    d = str(tmp_path / "run")
+    w = TensorboardWriter(d)
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    w.add_tensor("vis/state", arr, 7)
+    w.close()
+
+    path = [os.path.join(d, f) for f in os.listdir(d)
+            if "tfevents" in f][0]
+    got = None
+    for ev in event_file_loader.LegacyEventFileLoader(path).Load():
+        if ev.summary is not None and len(ev.summary.value):
+            val = ev.summary.value[0]
+            # the reference reader: float_val only, no tensor_content
+            got = np.array(val.tensor.float_val).reshape(
+                [dd.size for dd in val.tensor.tensor_shape.dim])
+            step = ev.step
+    assert got is not None and step == 7
+    np.testing.assert_array_equal(got.astype(np.float32), arr)
+
+
 def test_metrics_logger_tensorboard_backend(tmp_path):
     from bayesian_cbf_tpu.observability.logger import MetricsLogger
     from bayesian_cbf_tpu.observability.tbwriter import (
