@@ -45,7 +45,8 @@ def learned_socp_control(cfg: LearnedSOCPControllerConfig,
                          cbf_h, cbf_grad_h,
                          f_gp_fn: Callable, fu_gp_fn: Callable,
                          u_ref, x, clc_fn: Optional[Callable] = None,
-                         moment_deriv_fn: Optional[Callable] = None):
+                         moment_deriv_fn: Optional[Callable] = None,
+                         u_fallback=None):
     """One SOCP step with learned CBC2 cones.
 
     cbf_h / cbf_grad_h: barrier and its gradient (can be lists for multiple
@@ -59,7 +60,14 @@ def learned_socp_control(cfg: LearnedSOCPControllerConfig,
     evaluation (cbc2_closed_form_terms) instead of walking GradientGP
     Hessians through the posterior once per cone — the fast path for
     rollout scans (same u->cone math, cross-checked in
-    tests/test_pendulum_exp.py)."""
+    tests/test_pendulum_exp.py).
+
+    u_fallback (optional): the control executed on an infeasible step.
+    Defaults to u_ref, but when u_ref carries exploration noise (the
+    epsilon-greedy wrapper) callers MUST pass the clean unperturbed
+    reference here — an uncertified step should execute the safe
+    reference control, never exploration noise.  The reference restores
+    the pre-perturbation u_ref on failure (controllers.py:577-583)."""
     m = cfg.u_dim
     dtype = x.dtype
     extravars = 2                    # [delta, y]
@@ -122,7 +130,8 @@ def learned_socp_control(cfg: LearnedSOCPControllerConfig,
     # controllers.py:577-583 — raising is impossible inside lax.scan)
     feas_tol = 1e-4 if dtype == jnp.float64 else 5e-3
     feasible = (sol.pres < feas_tol) & jnp.all(jnp.isfinite(sol.x))
-    u = jnp.where(feasible, sol.x[:m], u_ref)
+    u_fb = u_ref if u_fallback is None else u_fallback
+    u = jnp.where(feasible, sol.x[:m], u_fb)
     info = dict(delta=sol.x[m], pres=sol.pres, dres=sol.dres,
                 feasible=feasible,
                 cbc_mean=jnp.stack(cbc_means), cbc_var=jnp.stack(cbc_vars))

@@ -52,11 +52,15 @@ class PendulumOnlineSim(NamedTuple):
         x, dyn_state, key = carry
         key, ke = jax.random.split(key)
         # epsilon-greedy LQR reference control on the learned mean dynamics
-        u_ref = self.lqr.control_with_model(
+        u_lqr = self.lqr.control_with_model(
             lambda xx: self.learned.f_func(dyn_state, xx),
             lambda xx: self.learned.g_func(dyn_state, xx), x, t)
-        u_ref = self.egreedy.perturb(u_ref, t, ke)
-        u, info = self._control(dyn_state, u_ref, x)
+        u_ref = self.egreedy.perturb(u_lqr, t, ke)
+        # infeasible steps fall back to the CLEAN LQR reference, never the
+        # exploration-perturbed control (round-4 verdict: an uncertified
+        # step must not execute exploration noise; the reference restores
+        # the unperturbed u_ref, controllers.py:577-583)
+        u, info = self._control(dyn_state, u_ref, x, u_fallback=u_lqr)
         dyn_state = learn_fn(dyn_state, x, u)
         x_next, xdot = self.true_dynamics.step(x, u, self.dt)
         return (x_next, dyn_state, key), (x, u, xdot, info)
@@ -70,7 +74,7 @@ class PendulumOnlineSim(NamedTuple):
         static schedule (sim.rollout.fit_segments)."""
         return self._step_impl(carry, t, self.learned.record)
 
-    def _control(self, dyn_state, u_ref, x):
+    def _control(self, dyn_state, u_ref, x, u_fallback=None):
         """Build the (f, fu) pair per u so cross-covariances stay linked."""
         cache = {}
 
@@ -86,7 +90,8 @@ class PendulumOnlineSim(NamedTuple):
                if self.controller.closed_form else None)
         return learned_socp_control(
             self.controller, self.cbf.cbf, self.cbf.grad_cbf,
-            f_gp_fn, fu_gp_fn, u_ref, x, moment_deriv_fn=mdf)
+            f_gp_fn, fu_gp_fn, u_ref, x, moment_deriv_fn=mdf,
+            u_fallback=u_fallback)
 
 
 def make_pendulum_online_sim(
@@ -200,11 +205,12 @@ def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
 
         def one(x, st, k):
             k, ke = jax.random.split(k)
-            u_ref = sim.lqr.control_with_model(
+            u_lqr = sim.lqr.control_with_model(
                 lambda xx: lrn.f_func(st, xx),
                 lambda xx: lrn.g_func(st, xx), x, t)
-            u_ref = sim.egreedy.perturb(u_ref, t, ke)
-            u, info = sim._control(st, u_ref, x)
+            u_ref = sim.egreedy.perturb(u_lqr, t, ke)
+            # clean-reference fallback on infeasible steps (see _step_impl)
+            u, info = sim._control(st, u_ref, x, u_fallback=u_lqr)
             st = lrn.record(st, x, u)
             x_next, xdot = sim.true_dynamics.step(x, u, sim.dt)
             return x_next, u, xdot, info, st, k

@@ -122,6 +122,52 @@ def test_online_learning_closed_form_matches_gp_path():
     np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xg), atol=1e-7)
 
 
+def test_infeasible_fallback_is_clean_reference_not_exploration():
+    """An uncertified (infeasible-SOCP) step must execute the clean LQR
+    reference control, never the epsilon-greedy perturbed control (the
+    reference restores the unperturbed u_ref, controllers.py:577-583).
+    socp_iters=1 leaves the IPM far from feasibility on every step, so
+    the executed trajectory must be IDENTICAL across different
+    exploration schemes — only the discarded u_ref differs."""
+    kw = dict(numSteps=12, max_train=8, training_iter=3,
+              train_every_n_steps=6, socp_iters=1)
+    sim_a = make_pendulum_online_sim(**kw, egreedy_scheme=(1.0, 0.01))
+    sim_b = make_pendulum_online_sim(**kw, egreedy_scheme=(5.0, 5.0))
+    Xa, Ua, _, info_a = run_pendulum_online_learning(sim_a, seed=0)
+    Xb, Ub, _, info_b = run_pendulum_online_learning(sim_b, seed=0)
+    assert not bool(jnp.any(info_a["feasible"]))
+    assert not bool(jnp.any(info_b["feasible"]))
+    np.testing.assert_array_equal(np.asarray(Ua), np.asarray(Ub))
+    np.testing.assert_array_equal(np.asarray(Xa), np.asarray(Xb))
+
+
+def test_learned_socp_control_u_fallback_plumbing():
+    """Unit check: on an infeasible solve, learned_socp_control returns
+    u_fallback (when given), not u_ref."""
+    from bayesian_cbf_tpu.control.learned_socp_controller import (
+        learned_socp_control)
+    sim = make_pendulum_online_sim(numSteps=12, max_train=8,
+                                   training_iter=3, socp_iters=1)
+    x = jnp.asarray([7 * math.pi / 12, 0.0])
+    st = sim.learned.init_state(jax.random.PRNGKey(0), dtype=x.dtype)
+    cache = {}
+
+    def fu_gp_fn(u):
+        cache["pair"] = sim.learned.f_gp_and_fu_gp(st, u)
+        return cache["pair"][1]
+
+    u_ref = jnp.asarray([3.7])
+    u_clean = jnp.asarray([-1.2])
+    cfg = sim.controller._replace(socp_iters=1)
+    u, info = learned_socp_control(
+        cfg, sim.cbf.cbf, sim.cbf.grad_cbf, lambda: cache["pair"][0],
+        fu_gp_fn, u_ref, x,
+        moment_deriv_fn=lambda xx: sim.learned.moment_derivatives(st, xx),
+        u_fallback=u_clean)
+    assert not bool(info["feasible"])
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u_clean))
+
+
 def test_pendulum_batched_runner():
     """Batched scan-of-vmap pendulum episodes: finite, safe, and the GP
     refit stays behind a scalar cond (would OOM-slow otherwise)."""
