@@ -195,9 +195,11 @@ def filter_runs(runs_dir, predicate=None, newest_first=True):
         return hits
     for name in os.listdir(runs_dir):
         d = osp.join(runs_dir, name)
-        has_log = (osp.exists(osp.join(d, "metrics.jsonl"))
-                   or osp.exists(osp.join(d, "metrics.flog")))
-        if not (osp.isdir(d) and has_log):
+        has_log = osp.isdir(d) and (
+            osp.exists(osp.join(d, "metrics.jsonl"))
+            or osp.exists(osp.join(d, "metrics.flog"))
+            or any("tfevents" in f for f in os.listdir(d)))
+        if not has_log:
             continue
         cfg = {}
         cfg_path = osp.join(d, "config.json")
@@ -213,10 +215,26 @@ def filter_runs(runs_dir, predicate=None, newest_first=True):
     return [d for _, d in hits]
 
 
+def _is_tfevents_dir(path):
+    return (osp.isdir(path)
+            and not osp.exists(osp.join(path, "metrics.jsonl"))
+            and not osp.exists(osp.join(path, "metrics.flog"))
+            and any("tfevents" in f for f in os.listdir(path)))
+
+
 def load_metrics(path):
     """Stream a metrics.jsonl (or binary metrics.flog) back, grouped by
-    tag (the analogue of load_tensorboard_scalars, misc.py:343-359)."""
+    tag (the analogue of load_tensorboard_scalars, misc.py:343-359).
+
+    A run dir logged with the `tensorboard` backend (only tfevents files,
+    no jsonl/flog) is auto-detected and read through
+    tbwriter.load_tensorboard_scalars, so replay_run works on any backend
+    — the reference replays straight from event files
+    (unicycle_move_to_pose.py:1421-1452)."""
     grouped: Dict[str, list] = {}
+    if _is_tfevents_dir(path):
+        from .tbwriter import load_tensorboard_scalars
+        return load_tensorboard_scalars(path)
     if path.endswith(".flog") or (not path.endswith(".jsonl")
                                   and osp.exists(osp.join(path,
                                                           "metrics.flog"))):

@@ -150,3 +150,43 @@ def test_gradient_gp_covar():
     xp = jnp.array([2.0, 3.0])
     got = np.asarray(gf.covar(g, x, xp))
     np.testing.assert_allclose(got, np.diag(np.asarray(xp)), atol=1e-10)
+
+
+def test_gradient_gp_covar_rectangular_z():
+    """Shape contract hardening (round-4 verdict weak 6): a non-square
+    cross-covariance (dz=3 != dx=2) must come back as (dx, dz) with the
+    right orientation, for BOTH child layouts ((1, dz) per contract and
+    a sloppy (dz,)), and a dz != Z.dim child raises."""
+    W = jnp.asarray([[1.0, -2.0], [0.5, 4.0], [3.0, 0.25]])   # (3, 2)
+
+    def make_f(layout):
+        f = LeafGP(lambda x: jnp.sum(x ** 2),
+                   lambda x, xp: jnp.exp(-0.5 * jnp.sum((x - xp) ** 2)),
+                   dim=1, name="f")
+        z = LeafGP(lambda x: jnp.zeros(3), lambda x, xp: jnp.eye(3),
+                   dim=3, name="z")
+        # cov(f(x), z(xp)) = W x * ||xp||^2 -> d/dx = ||xp||^2 W  (3, 2)
+        if layout == "contract":
+            f.register_covar(
+                z, lambda x, xp: (W @ x * jnp.sum(xp ** 2))[None, :])
+        else:
+            f.register_covar(
+                z, lambda x, xp: W @ x * jnp.sum(xp ** 2))
+        return f, z
+
+    x = jnp.array([0.5, -1.0])
+    xp = jnp.array([2.0, 3.0])
+    expect = np.asarray(jnp.sum(xp ** 2) * W).T        # (dx=2, dz=3)
+    for layout in ("contract", "sloppy"):
+        f, z = make_f(layout)
+        got = np.asarray(GradientGP(f, x_dim=2).covar(z, x, xp))
+        assert got.shape == (2, 3)
+        np.testing.assert_allclose(got, expect, atol=1e-10)
+
+    # element-count mismatch vs Z.dim is an error, not a silent reshape
+    f, z = make_f("contract")
+    bad = LeafGP(lambda x: jnp.zeros(4), lambda x, xp: jnp.eye(4),
+                 dim=4, name="bad")
+    f.register_covar(bad, lambda x, xp: (W @ x)[None, :])   # 3 elements
+    with pytest.raises(ValueError, match="expected Z.dim"):
+        GradientGP(f, x_dim=2).covar(bad, x, xp)

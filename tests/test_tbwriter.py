@@ -62,6 +62,31 @@ def test_tensor_summary_readable_via_float_val_only(tmp_path):
     np.testing.assert_array_equal(got.astype(np.float32), arr)
 
 
+def test_replay_from_tensorboard_backend(tmp_path):
+    """replay_run round-trip on a tfevents-only run dir: load_metrics
+    auto-detects the tensorboard backend (the reference replays straight
+    from event files, unicycle_move_to_pose.py:1421-1452), and
+    filter_runs finds such dirs."""
+    from bayesian_cbf_tpu.observability.logger import (
+        MetricsLogger, replay_run, filter_runs, load_metrics)
+    lg = MetricsLogger(runs_dir=str(tmp_path), exp_tags=("tbrun",),
+                       stamp="1", backend="tensorboard")
+    X = np.stack([np.linspace(0, 1, 12), np.linspace(0, 2, 12),
+                  np.zeros(12)], axis=1).astype(np.float32)
+    for t, row in enumerate(X):
+        lg.add_tensor("vis/state", row, t)
+    lg.dump_config({"obstacles": [{"center": [0.5, 0.5], "radius": 0.1}],
+                    "goal": [1.0, 2.0, 0.0], "name": "tbrun"})
+    lg.close()
+
+    g = load_metrics(lg.dir)
+    assert len(g["vis/state"]) == 12
+    out = replay_run(lg.dir, savefile=str(tmp_path / "replay.png"))
+    assert out is not None
+    hits = filter_runs(str(tmp_path), lambda c: c.get("name") == "tbrun")
+    assert hits and hits[0] == lg.dir
+
+
 def test_metrics_logger_tensorboard_backend(tmp_path):
     from bayesian_cbf_tpu.observability.logger import MetricsLogger
     from bayesian_cbf_tpu.observability.tbwriter import (
