@@ -188,6 +188,53 @@ def scan_with_scheduled_fits(step_fn, fit_fn, carry, numSteps: int,
     return jax.lax.scan(body, carry, jnp.arange(numSteps))
 
 
+def scan_with_scheduled_fits_batched(step_fn, fit_fn, carry, numSteps: int,
+                                     train_every: int, enable: bool,
+                                     state_index: int = 1,
+                                     fit_fn_warm=None):
+    """Batched (scan-of-vmap) twin of `scan_with_scheduled_fits`: ONE
+    scan whose body runs the (already-vmapped) step, then the per-episode
+    refit behind a SCALAR `lax.cond`.
+
+    The old segmented structure cut the scan at every fit boundary "so
+    the fit can never lower to a per-step select under vmap" — but that
+    concern only applies to vmap-OF-scan.  These runners are
+    scan-of-vmap: the schedule predicate (t > 0) & (t % train_every == 0)
+    depends on the scalar step index alone, so the cond stays a real
+    HLO conditional and the Adam loop executes exactly on the scheduled
+    steps.  The payoff is compile time: the segmented flagship pendulum
+    program carried 25 scan bodies + 25 vmapped fit programs (482 s
+    compile, records/tpu_round4.jsonl); this emits 1 scan + at most 2
+    fit programs (round-4 verdict 7).
+
+    `fit_fn` / `fit_fn_warm` act on a SINGLE LearnedDynState (vmapped
+    here); per-element acceptance is masked on a non-empty reservoir
+    exactly like the segmented runner (`_where_tree` on count_res)."""
+    do_sched = enable and train_every > 0
+
+    def body(carry, t):
+        carry, y = step_fn(carry, t)
+        if do_sched:
+            st = carry[state_index]
+            do_fit = (t > 0) & (t % train_every == 0)
+
+            def run_fit(s):
+                if fit_fn_warm is None:
+                    fitted = jax.vmap(fit_fn)(s)
+                else:
+                    fitted = jax.lax.cond(t == train_every,
+                                          jax.vmap(fit_fn),
+                                          jax.vmap(fit_fn_warm), s)
+                return _where_tree(s.count_res > 0, fitted, s)
+
+            st = jax.lax.cond(do_fit, run_fit, lambda s: s, st)
+            carry = (carry[:state_index] + (st,)
+                     + carry[state_index + 1:])
+        return carry, y
+
+    return jax.lax.scan(body, carry, jnp.arange(numSteps))
+
+
 def _simulate_unicycle(sim: UnicycleSim, x0, key):
     lrn = sim.learned_dynamics
     carry = sim.init_state(x0, key)
@@ -240,13 +287,16 @@ def sample_generator_independent(dynamics, key, n, x_lo, x_hi, u_lo, u_hi):
 
 
 def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
-    """Batched episodes as scan-of-vmap with SEGMENTED refits.
+    """Batched episodes as scan-of-vmap with scheduled refits behind a
+    scalar in-scan cond (scan_with_scheduled_fits_batched).
 
-    The batch axis vmaps inside the time scan (scan-of-vmap), and the
-    time scan itself is cut at the static refit boundaries so the
-    per-rollout Adam fit executes exactly on the scheduled steps by
-    construction (see fit_segments) — in particular it can never lower
-    to a per-step select under vmap."""
+    The batch axis vmaps inside the time scan (scan-of-vmap) — never
+    vmap-of-scan, under which the refit cond would lower to a per-step
+    select.  The refit schedule predicate is scalar (static in t), so a
+    single scan carries it; trajectories are bit-identical to the old
+    segmented structure (same step order, same fit events) with one
+    scan body + two fit programs in the compiled module instead of one
+    per segment."""
     B = x0s.shape[0]
     lrn = sim.learned_dynamics
     init_states = jax.vmap(
@@ -278,30 +328,17 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
             X, states, warms)
         return (X_next, states, warms), (X, U, Xdot, info, knl)
 
-    segs = fit_segments(sim.numSteps, lrn.train_every_n_steps,
-                        lrn.enable_learning)
     carry = (x0s, init_states, init_warms)
-    ys = []
-    fit_event = 0
-    for (s, e, do_fit) in segs:
-        carry, y = jax.lax.scan(step, carry, jnp.arange(s, e))
-        ys.append(y)
-        if do_fit:
-            X, states, warms = carry
-            # first fit event spends the full Adam budget; later ones are
-            # warm-started (params persist across fits, matching the
-            # reference's reused torch module) and may use the reduced
-            # training_iter_warm budget.  Keyed on the event index, not
-            # "has fit yet" — safe for the same reason as
-            # scan_with_scheduled_fits (count_res >= 1 at every event;
-            # see its docstring's known-edge note)
-            fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
-            fitted = jax.vmap(fit)(states)
-            states = _where_tree(states.count_res > 0, fitted, states)
-            carry = (X, states, warms)
-            fit_event += 1
-    X, U, Xdot, info, knl = jax.tree.map(
-        lambda *a: jnp.concatenate(a, 0), *ys)
+    # first fit event spends the full Adam budget; later ones are
+    # warm-started (params persist across fits, matching the reference's
+    # reused torch module) and may use the reduced training_iter_warm
+    # budget.  Keyed on the event index (t == train_every), safe for the
+    # same reason as scan_with_scheduled_fits (count_res >= 1 at every
+    # event; see its docstring's known-edge note).
+    _, (X, U, Xdot, info, knl) = scan_with_scheduled_fits_batched(
+        step, lrn.fit_now, carry, sim.numSteps,
+        lrn.train_every_n_steps, lrn.enable_learning,
+        fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs else None))
     # -> outputs with leading batch dim (B, T, ...)
     swap = lambda a: jnp.swapaxes(a, 0, 1)
     return RolloutOutputs(X=swap(X), U=swap(U), Xdot=swap(Xdot),
