@@ -18,6 +18,23 @@ from ..gp.algebra import DeterministicGP, LeafGP
 from .mvgp import MVGP, MVGPCache, MVGPData, MVGPParams
 
 
+def _tree_finite(tree) -> jax.Array:
+    """Scalar bool: every inexact leaf of `tree` is finite AND of sane
+    magnitude.  Finiteness alone is not enough: a garbage f32 batched
+    factorization of a duplicate-row Gram returns finite values of
+    ~1e29 that overflow every downstream matmul (round-5 forensics);
+    healthy cache/param leaves are O(1e2) at the flagship configs, so
+    1e8 (f32; 1e14 f64) is pure-garbage territory."""
+    ok = jnp.ones((), bool)
+    for leaf in jax.tree.leaves(tree):
+        a = jnp.asarray(leaf)
+        if jnp.issubdtype(a.dtype, jnp.inexact):
+            lim = 1e8 if a.dtype == jnp.float32 else 1e14
+            ok = (ok & jnp.all(jnp.isfinite(a))
+                  & (jnp.max(jnp.abs(a)) < lim))
+    return ok
+
+
 class CartesianDynamics(NamedTuple):
     """Unicycle: xdot = [v cos th, v sin th, omega]; f = 0
     (unicycle_move_to_pose.py:167-197)."""
@@ -500,17 +517,39 @@ class LearnedShiftInvariantDynamics(NamedTuple):
 
             return jax.lax.cond(state.count_res < cap, append, full, s)
 
-        return jax.lax.cond(accept, upd, lambda s: s, new_state)
+        def upd_guarded(s):
+            # same non-finite guard as fit_now: a numerically dependent
+            # appended row can break the rank-1 Schur step in f32 — keep
+            # the pre-update cache/data (still consistent: they snapshot
+            # an older buf) rather than poisoning the posterior
+            u_s = upd(s)
+            ok = _tree_finite(u_s.cache)
+            return jax.tree.map(lambda a, b: jnp.where(ok, a, b), u_s, s)
+
+        return jax.lax.cond(accept, upd_guarded, lambda s: s, new_state)
 
     def fit_now(self, state: LearnedDynState,
                 training_iter: Optional[int] = None) -> LearnedDynState:
-        """Unconditional refit on the current reservoir + cache refresh."""
+        """Unconditional refit on the current reservoir + cache refresh.
+
+        In-graph failure handling (SURVEY 5.3): a trajectory parked at a
+        near-equilibrium fills the reservoir with near-duplicate points
+        whose Gram is singular beyond the f32 jitter ladder — the
+        refreshed cache (or the fitted params) can come back non-finite
+        and would poison every later posterior/LQR evaluation (measured:
+        2 of 64 flagship pendulum episodes NaN'd from the t=40 refit,
+        round-5 forensics).  The reference's analogue is the make_psd
+        retry ladder + loud crash (control_affine_model.py:891-921);
+        in-scan we keep the PREVIOUS fitted state instead — the model
+        just stays at its last finite posterior."""
         params = self.gp.fit(state.params, state.buf,
                              training_iter=(self.training_iter
                                             if training_iter is None
                                             else training_iter))
-        return state._replace(params=params, data=state.buf,
-                              cache=self.gp.refresh_cache(params, state.buf))
+        new = state._replace(params=params, data=state.buf,
+                             cache=self.gp.refresh_cache(params, state.buf))
+        ok = _tree_finite((new.params, new.cache))
+        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, state)
 
     @property
     def first_fit_differs(self) -> bool:

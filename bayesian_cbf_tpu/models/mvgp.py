@@ -382,13 +382,32 @@ class MVGP(NamedTuple):
         scale = jnp.maximum(jnp.mean(jnp.abs(
             jnp.diagonal(K, axis1=-2, axis2=-1)), axis=-1,
             keepdims=True), 1.0)[..., None]
+        # Acceptance = finite AND sane magnitude.  A reservoir parked at
+        # a near-equilibrium fills with near-duplicate rows whose Gram is
+        # singular past the nugget; the f32 batched factorization kernel
+        # can then return FINITE garbage (measured max|Linv| 7.8e29 on 2
+        # of 64 flagship pendulum episodes, round-5 forensics) that a
+        # finiteness-only ladder accepts and every later posterior/LQR
+        # matmul overflows on.  With the nugget >= ~1e-4*scale the true
+        # bound is max|Linv| <~ 1/sqrt(lambda_min) ~ 1e2-1e3 (healthy
+        # flagship max ~52), so 1e6 (f32; 1e12 f64) cleanly separates
+        # garbage and triggers the bumped-jitter retries.
+        lim = jnp.asarray(1e6 if K.dtype == jnp.float32 else 1e12, K.dtype)
+
+        def sane(Lk, Linvk):
+            return (jnp.all(jnp.isfinite(Lk), axis=(-2, -1), keepdims=True)
+                    & jnp.all(jnp.isfinite(Linvk), axis=(-2, -1),
+                              keepdims=True)
+                    & (jnp.max(jnp.abs(Linvk), axis=(-2, -1),
+                               keepdims=True) < lim))
+
         L, Linv = chol_with_inv(K)
-        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+        ok = sane(L, Linv)
         bump1 = jnp.where(ok, 0.0, 1e-5 * scale)
         L2, Linv2 = chol_with_inv(K + bump1 * eye)
         L = jnp.where(ok, L, L2)
         Linv = jnp.where(ok, Linv, Linv2)
-        ok2 = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+        ok2 = sane(L, Linv)
         bump2 = jnp.where(ok2, 0.0, 1e-2 * scale)
         L3, Linv3 = chol_with_inv(K + (bump1 + bump2) * eye)
         L = jnp.where(ok2, L, L3)

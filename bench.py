@@ -215,6 +215,42 @@ def main():
         }
         if model_overcount:
             result["mfu"]["flop_model_overcount"] = True
+
+    # --- rel-deg-2 pendulum headline (round-4 verdict 3): batched
+    # online-learning episodes (CBC2 chance-constraint SOCP per step,
+    # scheduled MVGP refits) — the reference's perf centerpiece is
+    # pendulum-based (bayes_cbf/pendulum.py:1305-1395, :1041-1048).
+    if os.environ.get("BENCH_PENDULUM", "1") == "1" and platform != "cpu":
+        from bayesian_cbf_tpu.experiments.pendulum import (
+            make_pendulum_online_sim, run_pendulum_online_batch)
+        pb = int(os.environ.get("BENCH_PENDULUM_BATCH", "256"))
+        pwarm = int(os.environ.get("BENCH_PENDULUM_WARM", "10"))
+        psim = make_pendulum_online_sim(
+            max_train=max_train, training_iter_warm=pwarm)
+        th0 = jnp.asarray([7 * math.pi / 12, 0.0], dtype)
+        px0s = th0[None, :] + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(7), (pb, 2), dtype)
+        t0 = time.perf_counter()
+        pout = run_pendulum_online_batch(psim, px0s)
+        jax.block_until_ready(pout[0])
+        p_compile_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            pout = run_pendulum_online_batch(psim, px0s)
+            jax.block_until_ready(pout[0])
+        p_wall = (time.perf_counter() - t0) / reps
+        result["pendulum"] = {
+            "steps_per_sec": round(pb * psim.numSteps / p_wall, 1),
+            "batch": pb, "episode_steps": psim.numSteps,
+            "max_train": max_train, "training_iter_warm": pwarm,
+            "wall_s_per_batch": round(p_wall, 4),
+            "compile_plus_first_s": round(p_compile_first, 1),
+            "finite": bool(jnp.all(jnp.isfinite(pout[0]))),
+            "certified_frac": round(
+                float(jnp.mean(pout[3]["certified"])), 4),
+            "feasible_frac": round(
+                float(jnp.mean(pout[3]["feasible"])), 4),
+        }
     print(json.dumps(result))
 
 

@@ -131,12 +131,16 @@ def main():
     x_sol = np.asarray(info["x_sol"])
     Xn = np.asarray(X)
     T = feas.shape[1]
-    dims = (3, 3)
+    # cone layout: objective (3 rows), CBC (3 rows) [, s>=0 (1 row) when
+    # the relaxation is on — then `certified` marks slack ~ 0 steps]
+    relaxed = "certified" in info
+    dims = (3, 3, 1) if G.shape[2] == 7 else (3, 3)
 
-    bad = ~feas
+    # classify the steps the hard chance constraint did NOT certify
+    bad = ~np.asarray(info["certified"]) if relaxed else ~feas
     nbad = int(bad.sum())
     idx_b, idx_t = np.nonzero(bad)
-    print(f"infeasible steps: {nbad}/{feas.size} "
+    print(f"uncertified steps: {nbad}/{feas.size} "
           f"(frac {nbad / feas.size:.4f}), wall {wall:.1f}s")
 
     # classify every infeasible step from its CBC cone (rows 3:6)
@@ -152,7 +156,9 @@ def main():
     marginal = ~genuine & ~feasible_exists
 
     # of the feasible-exists ones: was the returned x actually
-    # near-feasible (tolerance miscalibration) or truly off (IPM stall)?
+    # near-feasible (tolerance miscalibration) or truly off (IPM stall /
+    # — under the relaxation — slack used although certification was
+    # possible)?
     tolcal = np.zeros(nbad, bool)
     scale = 1.0 + np.abs(h[idx_b, idx_t]).max(axis=-1)
     for i in np.nonzero(feasible_exists)[0]:
@@ -163,9 +169,11 @@ def main():
     tolcal_n = int(tolcal.sum())
 
     # reattempt the stalled ones with the SAME f32 IPM, more iterations
+    # (hard-cone capture only; under the relaxation the program is
+    # always feasible, so the retry says nothing)
     stall_idx = np.nonzero(stall)[0]
-    retry_fixed = 0
-    if stall_idx.size:
+    retry_fixed = None
+    if stall_idx.size and not relaxed:
         sub = stall_idx[:256]
         cvec = np.zeros((sub.size, 3), np.float32)
         cvec[:, 2] = 1.0
@@ -187,8 +195,12 @@ def main():
         "B": B, "numSteps": T, "max_train": 200, "socp_iters": iters,
         "training_iter_warm": warm,
         "platform": jax.devices()[0].platform,
+        "relaxed": relaxed,
         "feasible_frac": round(float(feas.mean()), 4),
-        "n_infeasible": nbad,
+        "certified_frac": (round(
+            float(np.asarray(info["certified"]).mean()), 4)
+            if relaxed else None),
+        "n_uncertified": nbad,
         "classes": {
             "genuine": int(genuine.sum()),
             "stall": int(stall.sum()),

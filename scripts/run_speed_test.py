@@ -31,6 +31,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--large", action="store_true",
+                    help="k in {768, 1024, 2048}: past the Pallas "
+                         "kernel cap, where the MVGP O(k^3) vs CoGP "
+                         "O(k^3 n^3) separation must re-emerge (the "
+                         "CoGP kn Gram exceeds the n<=1024 kernel cap "
+                         "from k=512 up and runs the XLA fallback)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_enable_x64", True)
@@ -38,7 +44,9 @@ def main():
     from bayesian_cbf_tpu.experiments.pendulum import (
         speed_test_matrix_vector, learn_dynamics_matrix_vector)
 
-    ks = (64, 128) if args.quick else (256, 320, 384, 512)
+    ks = ((64, 128) if args.quick
+          else (768, 1024, 2048) if args.large
+          else (256, 320, 384, 512))
     res = speed_test_matrix_vector(
         max_train_list=ks, grid=21,
         ntimes=3 if args.quick else 10, repeat=2 if args.quick else 5,
@@ -53,7 +61,7 @@ def main():
                 line += f"  reference={ref*1e3:8.2f} ms  speedup={ref/ours:6.1f}x"
             print(line)
 
-    if not args.quick:
+    if not args.quick and not args.large:
         ld = learn_dynamics_matrix_vector()
         print("learning error (reference: matrix 0.659, vector 3.436):",
               json.dumps(ld))
