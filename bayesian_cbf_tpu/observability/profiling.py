@@ -127,7 +127,11 @@ def decompose_trace(trace_path: str, buckets=DEFAULT_BUCKETS,
     if not tops:
         raise ValueError("no top-level %r span in the device lane"
                          % top_level_prefix)
-    span = tops[-1]
+    # the program of interest is the LONGEST top-level span (ties: the
+    # latest).  "Last" alone is wrong whenever a tiny fetch program
+    # (e.g. the jit_sum of a host-fence) runs after the main one.
+    dmax = max(e["dur"] for e in tops)
+    span = [e for e in tops if e["dur"] == dmax][-1]
     t0, t1 = span["ts"], span["ts"] + span["dur"]
     inside = [e for e in X
               if e["ts"] >= t0 and e["ts"] + e.get("dur", 0) <= t1
