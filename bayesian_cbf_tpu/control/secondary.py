@@ -92,6 +92,12 @@ class LQRController(NamedTuple):
         _, Ks = jax.lax.scan(riccati, P0, None, length=self.horizon)
         K = Ks[-1]   # gain at the current (first) step
         u = -K @ (x - self.x_goal.astype(x.dtype))
+        # in-graph failure handling (SURVEY 5.3): a large (finite)
+        # learned jacobian overflows the horizon-step Riccati recursion
+        # in f32 (P ~ |A|^(2H)); clip passes NaN through, so an
+        # un-linearizable model falls back to the zero reference — the
+        # SOCP's safety cones still act on it downstream
+        u = jnp.where(jnp.all(jnp.isfinite(u)), u, jnp.zeros_like(u))
         return clip_vec(u, jnp.asarray(self.ctrl_range[0], x.dtype),
                         jnp.asarray(self.ctrl_range[1], x.dtype))
 

@@ -99,10 +99,16 @@ def make_pendulum_online_sim(
         train_every_n_steps=10, max_unsafe_prob=0.01,
         k_alpha=(1.0, 3.0), ctrl_range=(-15.0, 15.0),
         egreedy_scheme=(1.0, 0.01), socp_iters=25,
-        training_iter_warm=0):
+        training_iter_warm=0, continuous_updates=False):
     """run_pendulum_control_online_learning configuration
     (pendulum.py:1041-1048; max_train reduced from 200 for CI speed —
-    pass max_train=200 for the full config)."""
+    pass max_train=200 for the full config).
+
+    continuous_updates=True enables the per-step O(K^2) rank-1 posterior
+    append (batched prefix-only variant) so every sample enters the
+    posterior immediately — a capability the reference lacks (it only
+    incorporates data at full refits); pair it with a sparser
+    train_every_n_steps for the fast gated configuration."""
     pend = PendulumDynamics()
     learned = LearnedShiftInvariantDynamics(
         gp=make_mvgp(2, 1, gamma_prior=(math.pi / 100, math.pi / 100)),
@@ -110,7 +116,9 @@ def make_pendulum_online_sim(
         max_train=max_train, training_iter=training_iter,
         shift_invariant=False, train_every_n_steps=train_every_n_steps,
         enable_learning=True, dt=dt,
-        training_iter_warm=training_iter_warm)
+        training_iter_warm=training_iter_warm,
+        continuous_updates=continuous_updates,
+        continuous_full_refresh=not continuous_updates)
     controller = LearnedSOCPControllerConfig(
         u_dim=1, x_dim=2, ctrl_reg=1.0, clf_relax_weight=100.0,
         max_unsafe_prob=max_unsafe_prob, k_alpha=k_alpha,

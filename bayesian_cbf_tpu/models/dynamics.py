@@ -260,6 +260,13 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     # posterior immediately via an O(K^2) rank-1 Cholesky append
     # (hyperparameters still refit on the train_every_n_steps schedule)
     continuous_updates: bool = False
+    # True (serving semantics): once the reservoir is full, replacement
+    # steps trigger a per-step O(K^3) full cache refresh so the posterior
+    # tracks every replacement (deploy.CompiledController).  False
+    # (batched-rollout semantics): replacement steps leave the cache to
+    # the scheduled refits — under vmap the refresh cond lowers to a
+    # select that would run the K^3 factorization EVERY step.
+    continuous_full_refresh: bool = True
     # opt-in perf knob (0 = off, reference semantics): Adam budget for
     # refits AFTER the first one.  Hyperparameters already persist across
     # refits (the reference fits the same torch module every time,
@@ -504,8 +511,25 @@ class LearnedShiftInvariantDynamics(NamedTuple):
         if not self.continuous_updates:
             return new_state
 
-        # rank-1 append while the reservoir is filling (prefix-active), full
-        # O(K^3) refresh once replacement begins; data snapshot tracks buf
+        if not self.continuous_full_refresh:
+            # batched-rollout continuous path: row-gated O(K^2) append
+            # only (cache_append_row carries the accept/sanity gating in
+            # its row writes — no cond, so nothing lowers to a
+            # whole-cache select under vmap); once the reservoir is full
+            # the scheduled refits own the cache.
+            wr = accept & (state.count_res < cap)
+            cache = gp.cache_append_row(new_state.params, new_state.buf,
+                                        state.cache, slot, wr)
+            # row-gated data snapshot: equals buf on accepted rows
+            data = jax.tree.map(
+                lambda d, b: d.at[slot].set(
+                    jnp.where(wr, b[slot], d[slot])),
+                state.data, buf)
+            return new_state._replace(data=data, cache=cache)
+
+        # serving semantics: rank-1 append while the reservoir is filling
+        # (prefix-active), full O(K^3) refresh once replacement begins;
+        # data snapshot tracks buf
         def upd(s):
             def append(s2):
                 cache = gp.cache_append(s2.params, s2.buf, s2.cache, slot)

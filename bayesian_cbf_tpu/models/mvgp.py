@@ -456,6 +456,65 @@ class MVGP(NamedTuple):
         alpha = jax.scipy.linalg.cho_solve((L, True), Y)
         return MVGPCache(L=L, alpha=alpha, Linv=Linv)
 
+    def cache_append_row(self, params: MVGPParams, data: MVGPData,
+                         cache: MVGPCache, slot, write) -> MVGPCache:
+        """Batched-rollout-friendly `cache_append`: same prefix-append
+        factor algebra, but
+
+          (a) only the appended Gram ROW is built (O(K (1+m)) — no
+              K x K masked Gram per step),
+          (b) alpha comes from two Linv matmuls instead of a
+              triangular solve (latency-bound on TPU), and
+          (c) all cache writes are ROW-gated on `write` — under vmap a
+              caller-side `lax.cond` lowers to a select that copies the
+              whole (K, K) cache every step; gating the rows keeps the
+              per-step footprint at three (K, K) matvec reads.
+
+        Row-level sanity guard (same bound story as refresh_cache): a
+        numerically dependent appended row (Schur complement at the
+        jitter floor with an insane inverse row) leaves the cache
+        unchanged.  `data` must already carry the new row at `slot`."""
+        K = data.X.shape[0]
+        dtype = data.X.dtype
+        x_s = data.X[slot]
+        uh_s = data.UH[slot]
+        UHB = data.UH @ params.B                              # (K, 1+m)
+        kx = self.k_xx(params, x_s[None], data.X)[0]          # (K,)
+        # dtype-aware nugget identical to gram_kb's (diag(Kxx) = scale)
+        uBu_diag = jnp.sum(UHB * data.UH, axis=1)
+        eps = jnp.finfo(dtype).eps
+        scale = jnp.maximum(jnp.mean(jnp.abs(
+            params.outputscale * uBu_diag)), 1.0)
+        nug = self.jitter + 10.0 * K * eps * scale
+        c = (kx * (UHB @ uh_s) * data.mask
+             * (jnp.arange(K) < slot))                        # (K,)
+        d = params.outputscale * (uh_s @ params.B @ uh_s) + nug
+        l21 = cache.Linv @ c
+        l22 = jnp.sqrt(jnp.maximum(d - jnp.sum(l21 * l21), self.jitter))
+        inv_row = -(l21 @ cache.Linv) / l22
+        lim = 1e6 if dtype == jnp.float32 else 1e12
+        alim = 1e8 if dtype == jnp.float32 else 1e14
+        # candidate updated cache, then a sanity gate over EVERY product
+        # (incl. alpha — a |Linv| just under the limit still squares to
+        # ~1e12 in alpha and overflows downstream f32 matmuls)
+        Linv_cand = cache.Linv.at[slot].set(inv_row.at[slot].set(1.0 / l22))
+        Y = self.residual_Y(params, data)
+        hi = jax.lax.Precision.HIGHEST
+        alpha_cand = jnp.matmul(Linv_cand.T,
+                                jnp.matmul(Linv_cand, Y, precision=hi),
+                                precision=hi)
+        ok = (jnp.all(jnp.isfinite(l21)) & jnp.isfinite(l22)
+              & (jnp.max(jnp.abs(inv_row)) < lim)
+              & jnp.all(jnp.isfinite(alpha_cand))
+              & (jnp.max(jnp.abs(alpha_cand)) < alim))
+        wr = ok & write
+        Lrow = jnp.where(wr, l21.at[slot].set(l22), cache.L[slot])
+        L = cache.L.at[slot].set(Lrow)
+        Linv = cache.Linv.at[slot].set(
+            jnp.where(wr, Linv_cand[slot], cache.Linv[slot]))
+        alpha = jnp.where(wr, alpha_cand, cache.alpha)
+        return MVGPCache(L=L, alpha=alpha, Linv=Linv)
+
     def _kb_star(self, params: MVGPParams, data: MVGPData, Xtest: jax.Array):
         """Cross-covariance block 𝔅(XU, x*): (b, K, 1+m), masked."""
         Kxs = self.k_xx(params, Xtest, data.X)                   # (b, K)

@@ -224,33 +224,56 @@ def main():
         from bayesian_cbf_tpu.experiments.pendulum import (
             make_pendulum_online_sim, run_pendulum_online_batch)
         pb = int(os.environ.get("BENCH_PENDULUM_BATCH", "256"))
-        pwarm = int(os.environ.get("BENCH_PENDULUM_WARM", "10"))
-        psim = make_pendulum_online_sim(
-            max_train=max_train, training_iter_warm=pwarm)
         th0 = jnp.asarray([7 * math.pi / 12, 0.0], dtype)
         px0s = th0[None, :] + 0.05 * jax.random.normal(
             jax.random.PRNGKey(7), (pb, 2), dtype)
-        t0 = time.perf_counter()
-        pout = run_pendulum_online_batch(psim, px0s)
-        jax.block_until_ready(pout[0])
-        p_compile_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(reps):
+
+        def run_pendulum(**kw):
+            psim = make_pendulum_online_sim(max_train=max_train, **kw)
+            t0 = time.perf_counter()
             pout = run_pendulum_online_batch(psim, px0s)
             jax.block_until_ready(pout[0])
-        p_wall = (time.perf_counter() - t0) / reps
+            pc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                pout = run_pendulum_online_batch(psim, px0s)
+                jax.block_until_ready(pout[0])
+            pw = (time.perf_counter() - t0) / reps
+            return {
+                "steps_per_sec": round(pb * psim.numSteps / pw, 1),
+                "wall_s_per_batch": round(pw, 4),
+                "compile_plus_first_s": round(pc, 1),
+                "finite": bool(jnp.all(jnp.isfinite(pout[0]))),
+                "certified_frac": round(
+                    float(jnp.mean(pout[3]["certified"])), 4),
+                "feasible_frac": round(
+                    float(jnp.mean(pout[3]["feasible"])), 4),
+            }
+
+        # headline: continuous rank-1 posterior updates (every sample
+        # enters the posterior the step it is observed — a capability
+        # the reference lacks) + sparse warm hyperparameter refits.
+        # Outcome-gated on chip (check_outcomes pendulum_batched_cu):
+        # damage/wedge 0.0 across the batch, all episodes parked above
+        # the wedge edge.  The reference-schedule anchor (refit every
+        # 10 steps, pendulum.py:919) is attached below, same honesty
+        # contract as the unicycle training_iter_warm headline.
         result["pendulum"] = {
-            "steps_per_sec": round(pb * psim.numSteps / p_wall, 1),
-            "batch": pb, "episode_steps": psim.numSteps,
-            "max_train": max_train, "training_iter_warm": pwarm,
-            "wall_s_per_batch": round(p_wall, 4),
-            "compile_plus_first_s": round(p_compile_first, 1),
-            "finite": bool(jnp.all(jnp.isfinite(pout[0]))),
-            "certified_frac": round(
-                float(jnp.mean(pout[3]["certified"])), 4),
-            "feasible_frac": round(
-                float(jnp.mean(pout[3]["feasible"])), 4),
+            "batch": pb, "episode_steps": 250, "max_train": max_train,
+            "config": {"continuous_updates": True,
+                       "train_every_n_steps": 100,
+                       "training_iter_warm": 5},
+            **run_pendulum(continuous_updates=True,
+                           train_every_n_steps=100,
+                           training_iter_warm=5),
         }
+        if os.environ.get("BENCH_PENDULUM_REF", "1") == "1":
+            pwarm = int(os.environ.get("BENCH_PENDULUM_WARM", "10"))
+            result["pendulum"]["reference_schedule"] = {
+                "config": {"train_every_n_steps": 10,
+                           "training_iter_warm": pwarm},
+                **run_pendulum(training_iter_warm=pwarm),
+            }
     print(json.dumps(result))
 
 

@@ -384,6 +384,39 @@ def main():
         and res["pendulum_batched"]["frac_wedge_gt_2pct"] <= 0.05
         and res["pendulum_batched"]["finite"])
 
+    # --- BATCHED pendulum, continuous-updates fast config (the bench
+    # headline: per-step rank-1 posterior appends + sparse warm refits;
+    # round-5).  Same safety verdicts as the reference-schedule batch.
+    cusim = make_pendulum_online_sim(max_train=200, continuous_updates=True,
+                                     train_every_n_steps=100,
+                                     training_iter_warm=5)
+    cX, cU, cXdot, cinfo = run_pendulum_online_batch(cusim, px0s)
+    cX = np.asarray(cX)
+    cdmg = np.array([pendulum_damage_fraction(cX[b, :, 0])
+                     for b in range(Bp_)])
+    cwdg = np.array([pendulum_wedge_fraction(cX[b, :, 0])
+                     for b in range(Bp_)])
+    res["pendulum_batched_cu"] = {
+        "B": Bp_,
+        "mean_damage": round(float(cdmg.mean()), 4),
+        "frac_damaged": round(float((cdmg > 0).mean()), 4),
+        "frac_wedge_gt_2pct": round(float((cwdg > 0.02).mean()), 4),
+        "finite": bool(np.all(np.isfinite(cX))),
+        "feasible": round(float(np.mean(np.asarray(cinfo["feasible"]))), 4),
+        "certified": round(
+            float(np.mean(np.asarray(cinfo["certified"]))), 4),
+        "theta_end_range": [round(float(cX[:, -1, 0].min()), 3),
+                            round(float(cX[:, -1, 0].max()), 3)],
+    }
+    verdicts["pendulum_batched_cu_safe"] = (
+        res["pendulum_batched_cu"]["mean_damage"] <= 0.01
+        and res["pendulum_batched_cu"]["frac_damaged"] <= 0.05
+        and res["pendulum_batched_cu"]["frac_wedge_gt_2pct"] <= 0.05
+        and res["pendulum_batched_cu"]["finite"]
+        and res["pendulum_batched_cu"]["feasible"] >= 0.95
+        and res["pendulum_batched_cu"]["theta_end_range"][0]
+            > math.pi / 4 + math.pi / 8)
+
     # --- solver feasibility floor, BOTH stacks (round-4 verdict weak 7:
     # a solver regression that halves feasibility while outcomes stay
     # lucky must fail the gate).  `feasible` = the IPM converged on the

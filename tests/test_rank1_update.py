@@ -51,3 +51,40 @@ def test_continuous_updates_rollout_runs():
     out = simulate_unicycle(sim, STATE_START)
     assert bool(jnp.all(jnp.isfinite(out.X)))
     assert bool(jnp.all(jnp.isfinite(out.U)))
+
+
+def test_cache_append_row_matches_refresh_and_append():
+    """The batched-rollout row append (cache_append_row: O(K) gram row,
+    matmul-only alpha, row-gated writes) reproduces both refresh_cache
+    and the serving cache_append on a growing prefix, and a write=False
+    call is a strict no-op."""
+    from bayesian_cbf_tpu.models.mvgp import make_mvgp
+    gp = make_mvgp(2, 1)
+    K = 12
+    rng = np.random.default_rng(0)
+    params = gp.init_params(jax.random.PRNGKey(1))
+    data = gp.empty_data(K)
+    cache = gp.empty_cache(K)
+    old = gp.empty_cache(K)
+    for i in range(8):
+        data = data._replace(
+            X=data.X.at[i].set(jnp.asarray(rng.normal(size=2))),
+            UH=data.UH.at[i].set(jnp.asarray([1.0, rng.normal()])),
+            Xdot=data.Xdot.at[i].set(jnp.asarray(rng.normal(size=2))),
+            mask=data.mask.at[i].set(1.0))
+        cache = gp.cache_append_row(params, data, cache,
+                                    jnp.asarray(i), jnp.asarray(True))
+        old = gp.cache_append(params, data, old, jnp.asarray(i))
+    ref = gp.refresh_cache(params, data)
+    np.testing.assert_allclose(np.asarray(cache.L), np.asarray(ref.L),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cache.Linv), np.asarray(ref.Linv),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cache.alpha),
+                               np.asarray(ref.alpha), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cache.L), np.asarray(old.L),
+                               rtol=1e-9, atol=1e-12)
+    noop = gp.cache_append_row(params, data, cache, jnp.asarray(9),
+                               jnp.asarray(False))
+    for a, b in zip(jax.tree.leaves(noop), jax.tree.leaves(cache)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
