@@ -287,16 +287,20 @@ def sample_generator_independent(dynamics, key, n, x_lo, x_hi, u_lo, u_hi):
 
 
 def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
-    """Batched episodes as scan-of-vmap with scheduled refits behind a
-    scalar in-scan cond (scan_with_scheduled_fits_batched).
+    """Batched episodes as scan-of-vmap with SEGMENTED refits.
 
-    The batch axis vmaps inside the time scan (scan-of-vmap) — never
-    vmap-of-scan, under which the refit cond would lower to a per-step
-    select.  The refit schedule predicate is scalar (static in t), so a
-    single scan carries it; trajectories are bit-identical to the old
-    segmented structure (same step order, same fit events) with one
-    scan body + two fit programs in the compiled module instead of one
-    per segment."""
+    The batch axis vmaps inside the time scan (scan-of-vmap), and the
+    time scan is cut at the static refit boundaries (fit_segments).
+    DELIBERATELY segmented, not the single-scan-with-cond structure
+    (scan_with_scheduled_fits_batched, which the pendulum runner uses):
+    inside a segment the (B, K, K) posterior cache is an UNCHANGED
+    carry element, which XLA hoists VMEM-resident across steps; with
+    the refit cond in the scan body the cache becomes a conditionally
+    written carry and every step re-reads it from HBM — measured
+    on-chip: gp_moments 0.083 s -> 0.536 s and the flagship headline
+    510k -> 385k steps/s (round-5 A/B).  The segment count here is
+    small (5 fits at the flagship config), so the compile cost the
+    pendulum's 25-event schedule paid for segmentation does not apply."""
     B = x0s.shape[0]
     lrn = sim.learned_dynamics
     init_states = jax.vmap(
@@ -328,17 +332,30 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
             X, states, warms)
         return (X_next, states, warms), (X, U, Xdot, info, knl)
 
+    segs = fit_segments(sim.numSteps, lrn.train_every_n_steps,
+                        lrn.enable_learning)
     carry = (x0s, init_states, init_warms)
-    # first fit event spends the full Adam budget; later ones are
-    # warm-started (params persist across fits, matching the reference's
-    # reused torch module) and may use the reduced training_iter_warm
-    # budget.  Keyed on the event index (t == train_every), safe for the
-    # same reason as scan_with_scheduled_fits (count_res >= 1 at every
-    # event; see its docstring's known-edge note).
-    _, (X, U, Xdot, info, knl) = scan_with_scheduled_fits_batched(
-        step, lrn.fit_now, carry, sim.numSteps,
-        lrn.train_every_n_steps, lrn.enable_learning,
-        fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs else None))
+    ys = []
+    fit_event = 0
+    for (s, e, do_fit) in segs:
+        carry, y = jax.lax.scan(step, carry, jnp.arange(s, e))
+        ys.append(y)
+        if do_fit:
+            X, states, warms = carry
+            # first fit event spends the full Adam budget; later ones are
+            # warm-started (params persist across fits, matching the
+            # reference's reused torch module) and may use the reduced
+            # training_iter_warm budget.  Keyed on the event index, not
+            # "has fit yet" — safe for the same reason as
+            # scan_with_scheduled_fits (count_res >= 1 at every event;
+            # see its docstring's known-edge note)
+            fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
+            fitted = jax.vmap(fit)(states)
+            states = _where_tree(states.count_res > 0, fitted, states)
+            carry = (X, states, warms)
+            fit_event += 1
+    X, U, Xdot, info, knl = jax.tree.map(
+        lambda *a: jnp.concatenate(a, 0), *ys)
     # -> outputs with leading batch dim (B, T, ...)
     swap = lambda a: jnp.swapaxes(a, 0, 1)
     return RolloutOutputs(X=swap(X), U=swap(U), Xdot=swap(Xdot),
