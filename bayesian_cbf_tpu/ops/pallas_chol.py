@@ -45,6 +45,7 @@ NB_BLK = 32       # factorization block.  On-chip fused-fit A/B at the
                   # trailing updates dominate.  CPU-interpret resid on
                   # the real trajectory Gram: 4.0e-3 (nb=32).
 CHUNK = 8         # max batch elements factored together per grid cell
+CHOLSOLVE_CHUNK = 32  # factor+solve kernels: same sweet spot as cholk (cholinv.CHOLK_CHUNK)
 
 
 def _round_up(x, m):
@@ -213,6 +214,201 @@ def _cholkinv_kernel(nblocks, nb, n, N, k_ref, kinv_ref, ld_ref):
     Kinv = _bmm(top, top, ta=True)                            # Linv^T Linv
     kinv_ref[:] = Kinv[:, :n, :n]
     ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
+
+
+def _solve_sweeps(lps, xs, rhs, nblocks, nb):
+    """Two triangular sweeps against the blocked factor held as VMEM
+    values: forward  y_r = X_r (b_r - sum_{j<r} L[r,j] y_j), backward
+    x_r = X_r^T (y_r - sum_{j>r} L[j,r]^T x_j).  L[r,j] for j<r lives in
+    the panel value lps[j] at block-row offset (r-j-1); X_r = xs[r] is
+    the diagonal-block inverse.  rhs: (CB, N, R)."""
+    ys = []
+    for r in range(nblocks):
+        acc = rhs[:, r * nb:(r + 1) * nb, :]
+        for j in range(r):
+            Lrj = lps[j][:, (r - j - 1) * nb:(r - j) * nb, :]
+            acc = acc - _bmm(Lrj, ys[j])
+        ys.append(_bmm(xs[r], acc))
+    sols = [None] * nblocks
+    for r in range(nblocks - 1, -1, -1):
+        acc = ys[r]
+        for j in range(r + 1, nblocks):
+            Ljr = lps[r][:, (j - r - 1) * nb:(j - r) * nb, :]
+            acc = acc - _bmm(Ljr, sols[j], ta=True)
+        sols[r] = _bmm(xs[r], acc, ta=True)
+    return jnp.concatenate(sols, axis=1)
+
+
+def _cholsolve_kernel(nblocks, nb, n, N, k_ref, rhs_ref, sol_ref, l_ref,
+                      dinv_ref, ld_ref):
+    """Grid cell for the Hutchinson fit path FORWARD: blocked Cholesky
+    factor + two-sweep solve of a (CB, N, R) right-hand side + logdet —
+    NO Linv assembly and NO Kinv = Linv^T Linv bmm (the two non-factor
+    phases of `_cholkinv_kernel`, whose per-block-column VPU/MXU work
+    scales with the FULL n column width; the sweeps touch only R
+    columns).  Writes L and the diagonal-block inverses so the backward
+    pass can solve its cotangent rhs without refactoring."""
+    f32 = k_ref.dtype
+    tiny = jnp.full((1, 1, 1), 1e-12, f32)
+    W = k_ref[:]
+    CB = W.shape[0]
+    l_ref[:] = jnp.zeros_like(W)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    eye_nb = (ri == ci.reshape(nb, 1).T).astype(f32)
+    ld = jnp.zeros((CB, 1, 1), f32)
+    lps, xs = [], []
+    for j in range(nblocks):
+        o = j * nb
+        D = W[:, :nb, :nb]
+        Lj, Xj = _factor_block(D, tiny)
+        diag = jnp.sum(Lj * eye_nb[None], axis=2, keepdims=True)
+        ld = ld + 2.0 * jnp.sum(
+            jnp.log(jnp.maximum(diag, jnp.full_like(diag, 1e-20))),
+            axis=1, keepdims=True)
+        xs.append(Xj)
+        l_ref[:, o:o + nb, o:o + nb] = Lj
+        dinv_ref[:, o:o + nb, :] = Xj
+        if j + 1 < nblocks:
+            P = W[:, nb:, :nb]
+            Lp = _bmm(P, Xj, tb=True)
+            lps.append(Lp)
+            l_ref[:, o + nb:, o:o + nb] = Lp
+            W = W[:, nb:, nb:] - _bmm(Lp, Lp, tb=True)
+        else:
+            lps.append(None)
+    sol_ref[:] = _solve_sweeps(lps, xs, rhs_ref[:], nblocks, nb)
+    ld_ref[:] = jnp.broadcast_to(ld, ld_ref.shape)
+
+
+def _solve_with_factor_kernel(nblocks, nb, l_ref, dinv_ref, rhs_ref,
+                              sol_ref):
+    """Grid cell for the Hutchinson fit path BACKWARD: two-sweep solve
+    of a (CB, N, R) rhs against the SAVED factor (L panels + diag-block
+    inverses are kernel INPUTS — reading inputs is fine; the round-2
+    negative result was OUTPUT-ref readback)."""
+    L = l_ref[:]
+    D = dinv_ref[:]
+    lps, xs = [], []
+    for j in range(nblocks):
+        o = j * nb
+        xs.append(D[:, o:o + nb, :])
+        lps.append(L[:, o + nb:, o:o + nb] if j + 1 < nblocks else None)
+    sol_ref[:] = _solve_sweeps(lps, xs, rhs_ref[:], nblocks, nb)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nb", "chunk"))
+def batched_cholsolve_logdet(K, RHS, interpret: bool = False, nb: int = 0,
+                             chunk: int = 0):
+    """(K^{-1} RHS, L, Dinv, logdet K) for a batch K (B, n, n) and rhs
+    (B, n, r) via ONE Pallas call — the factor-and-solve forward of the
+    Hutchinson fit path (no Linv assembly / Kinv bmm)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = int(nb) if nb else NB_BLK
+    B, n, _ = K.shape
+    r = RHS.shape[-1]
+    N = max(_round_up(n, nb), nb)
+    nblocks = N // nb
+    from .pallas_sweep import _auto_chunk, VMEM_LIMIT
+    chunk = min(chunk or CHOLSOLVE_CHUNK,
+                _auto_chunk(N, extra_bytes_per_elem=N * N))
+    Bp = max(_round_up(B, chunk), chunk)
+    f32 = jnp.float32
+    Kp = K.astype(f32)
+    Rp = RHS.astype(f32)
+    if Bp != B:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (Bp - B, n, n))
+        Kp = jnp.concatenate([Kp, eye], axis=0)
+        Rp = jnp.concatenate(
+            [Rp, jnp.zeros((Bp - B, n, r), f32)], axis=0)
+    if N != n:
+        from .pallas_sweep import _identity_pad
+        Kp = _identity_pad(Kp, N, n)
+        Rp = jnp.concatenate(
+            [Rp, jnp.zeros((Bp, N - n, r), f32)], axis=1)
+
+    grid = (Bp // chunk,)
+    sol, L, Dinv, ld = pl.pallas_call(
+        functools.partial(_cholsolve_kernel, nblocks, nb, n, N),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((Bp, N, r), f32),
+                   jax.ShapeDtypeStruct((Bp, N, N), f32),
+                   jax.ShapeDtypeStruct((Bp, N, nb), f32),
+                   jax.ShapeDtypeStruct((Bp, 1, 128), f32)),
+        in_specs=[pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((chunk, N, r), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((chunk, N, r), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((chunk, N, nb), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((chunk, 1, 128), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(Kp, Rp)
+    return (sol[:B, :n].astype(K.dtype), L[:B], Dinv[:B],
+            ld[:B, 0, 0].astype(K.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nb", "chunk"))
+def batched_solve_with_factor(L, Dinv, RHS, interpret: bool = False,
+                              nb: int = 0, chunk: int = 0):
+    """K^{-1} RHS against a factor saved by `batched_cholsolve_logdet`
+    (L (B, N, N) padded, Dinv (B, N, nb)); rhs (B, n, r)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = int(nb) if nb else NB_BLK
+    B, N, _ = L.shape
+    n = RHS.shape[1]
+    r = RHS.shape[-1]
+    nblocks = N // nb
+    from .pallas_sweep import _auto_chunk, VMEM_LIMIT
+    chunk = min(chunk or CHOLSOLVE_CHUNK,
+                _auto_chunk(N, extra_bytes_per_elem=N * N))
+    Bp = max(_round_up(B, chunk), chunk)
+    f32 = jnp.float32
+    Lp_ = L.astype(f32)
+    Dp = Dinv.astype(f32)
+    Rp = RHS.astype(f32)
+    if N != n:
+        Rp = jnp.concatenate(
+            [Rp, jnp.zeros((B, N - n, r), f32)], axis=1)
+    if Bp != B:
+        eyeN = jnp.broadcast_to(jnp.eye(N, dtype=f32), (Bp - B, N, N))
+        Lp_ = jnp.concatenate([Lp_, eyeN], axis=0)
+        eye_blk = jnp.broadcast_to(
+            jnp.tile(jnp.eye(nb, dtype=f32), (N // nb, 1))[None],
+            (Bp - B, N, nb))
+        Dp = jnp.concatenate([Dp, eye_blk], axis=0)
+        Rp = jnp.concatenate(
+            [Rp, jnp.zeros((Bp - B, N, r), f32)], axis=0)
+
+    grid = (Bp // chunk,)
+    sol = pl.pallas_call(
+        functools.partial(_solve_with_factor_kernel, nblocks, nb),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((Bp, N, r), f32),
+        in_specs=[pl.BlockSpec((chunk, N, N), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((chunk, N, nb), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((chunk, N, r), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, N, r), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(Lp_, Dp, Rp)
+    return sol[:B, :n].astype(RHS.dtype)
 
 
 def batched_kinv_logdet_chol(K, interpret: bool = False, nb: int = 0,

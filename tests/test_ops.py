@@ -226,3 +226,30 @@ def test_kinv_logdet_unbatched_operand_under_vmap():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
 
 
+
+
+def test_cholsolve_kernels_interpret():
+    """The round-5 factor+solve kernel pair (measured dead end at the
+    flagship shape — records hutchinson_solve_kernel_negative — but kept
+    correct): forward factor+solve+logdet and the sweeps-only backward
+    both match the XLA oracle in interpret mode."""
+    from bayesian_cbf_tpu.ops.pallas_chol import (
+        batched_cholsolve_logdet, batched_solve_with_factor)
+    rng = np.random.default_rng(3)
+    B, n, r = 3, 50, 11
+    A = rng.normal(size=(B, n, n)).astype(np.float32)
+    K = jnp.asarray(A @ np.swapaxes(A, 1, 2)
+                    + 0.5 * np.eye(n, dtype=np.float32))
+    RHS = jnp.asarray(rng.normal(size=(B, n, r)).astype(np.float32))
+    sol, L, Dinv, ld = batched_cholsolve_logdet(K, RHS, interpret=True,
+                                                nb=16)
+    ref = jnp.linalg.solve(K, RHS)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    _, ld_ref = jnp.linalg.slogdet(K)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_ref),
+                               rtol=1e-5, atol=1e-4)
+    sol2 = batched_solve_with_factor(L, Dinv, RHS[:, :, :3],
+                                     interpret=True, nb=16)
+    np.testing.assert_allclose(np.asarray(sol2), np.asarray(ref[:, :, :3]),
+                               rtol=2e-4, atol=2e-4)
