@@ -490,19 +490,25 @@ class MVGP(NamedTuple):
              * (jnp.arange(K) < slot))                        # (K,)
         d = params.outputscale * (uh_s @ params.B @ uh_s) + nug
         l21 = cache.Linv @ c
-        l22 = jnp.sqrt(jnp.maximum(d - jnp.sum(l21 * l21), self.jitter))
+        s2 = jnp.maximum(d - jnp.sum(l21 * l21), self.jitter)
+        l22 = jnp.sqrt(s2)
         inv_row = -(l21 @ cache.Linv) / l22
         lim = 1e6 if dtype == jnp.float32 else 1e12
         alim = 1e8 if dtype == jnp.float32 else 1e14
-        # candidate updated cache, then a sanity gate over EVERY product
-        # (incl. alpha — a |Linv| just under the limit still squares to
-        # ~1e12 in alpha and overflows downstream f32 matmuls)
-        Linv_cand = cache.Linv.at[slot].set(inv_row.at[slot].set(1.0 / l22))
+        # alpha by the exact rank-1 (RLS) block-inverse identity instead
+        # of two full (K, K) @ (K, n) Linv matmuls: with w = A^{-1} c =
+        # Linv^T l21 and Schur s2 = l22^2,
+        #   alpha_top    += w (c^T alpha - y_s) / s2
+        #   alpha[slot]   = (y_s - c^T alpha) / s2
+        # (alpha rows beyond the active prefix are y_row under the
+        # identity factor and untouched by the update's zero w there).
         Y = self.residual_Y(params, data)
-        hi = jax.lax.Precision.HIGHEST
-        alpha_cand = jnp.matmul(Linv_cand.T,
-                                jnp.matmul(Linv_cand, Y, precision=hi),
-                                precision=hi)
+        w = l21 @ cache.Linv                                  # (K,) = w^T
+        gain = (c @ cache.alpha - Y[slot]) / s2               # (n,)
+        alpha_cand = cache.alpha + jnp.outer(w, gain)
+        alpha_cand = alpha_cand.at[slot].set(-gain)
+        # sanity gate over EVERY product (incl. alpha — a |Linv| just
+        # under the limit still squares past f32 range in alpha)
         ok = (jnp.all(jnp.isfinite(l21)) & jnp.isfinite(l22)
               & (jnp.max(jnp.abs(inv_row)) < lim)
               & jnp.all(jnp.isfinite(alpha_cand))
@@ -510,8 +516,9 @@ class MVGP(NamedTuple):
         wr = ok & write
         Lrow = jnp.where(wr, l21.at[slot].set(l22), cache.L[slot])
         L = cache.L.at[slot].set(Lrow)
-        Linv = cache.Linv.at[slot].set(
-            jnp.where(wr, Linv_cand[slot], cache.Linv[slot]))
+        Linv_row = jnp.where(wr, inv_row.at[slot].set(1.0 / l22),
+                             cache.Linv[slot])
+        Linv = cache.Linv.at[slot].set(Linv_row)
         alpha = jnp.where(wr, alpha_cand, cache.alpha)
         return MVGPCache(L=L, alpha=alpha, Linv=Linv)
 
