@@ -45,8 +45,11 @@ def test_warm_refit_off_is_identity():
 
 
 def test_batched_runner_budget_dispatch(monkeypatch):
-    """numSteps=50, train_every=20 -> fit events after steps 20 and 40:
-    the first spends training_iter, the second training_iter_warm."""
+    """Fit events after steps 15 and 30: the first spends training_iter,
+    the second training_iter_warm.  (numSteps kept small: this test's
+    3-segment batched program is the biggest compile in the suite tail,
+    and the remote-compile service has twice hung on it in full-suite
+    context while passing solo — shorter program, smaller target.)"""
     budgets = []
     orig = dyn_mod.LearnedShiftInvariantDynamics.fit_now
 
@@ -57,7 +60,8 @@ def test_batched_runner_budget_dispatch(monkeypatch):
 
     monkeypatch.setattr(dyn_mod.LearnedShiftInvariantDynamics,
                         "fit_now", spy)
-    sim = _small_sim(training_iter_warm=2)
+    sim = _small_sim(training_iter_warm=2, numSteps=31,
+                     train_every_n_steps=15)
     x0s = jnp.broadcast_to(jnp.asarray(STATE_START), (2, 3))
     keys = jax.random.split(jax.random.PRNGKey(1), 2)
     out = jax.jit(lambda a, k: _simulate_unicycle_batch(sim, a, k))(
