@@ -177,7 +177,7 @@ def run_pendulum_online_learning(sim: PendulumOnlineSim,
         # 25-segment flagship program took minutes to compile
         lrn = sim.learned
         _, ys = scan_with_scheduled_fits(
-            sim.step_no_fit, lrn.fit_now, (x0, dyn_state, ks),
+            sim.step_no_fit, lrn.fit_now_first, (x0, dyn_state, ks),
             sim.numSteps, lrn.train_every_n_steps,
             lrn.enable_learning,
             fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs
@@ -231,7 +231,7 @@ def run_pendulum_online_batch(sim: PendulumOnlineSim, x0s, seed=0):
     def run(x0s, dyn_states, ekeys):
         carry = (x0s, dyn_states, ekeys)
         _, ys = scan_with_scheduled_fits_batched(
-            step, lrn.fit_now, carry, sim.numSteps,
+            step, lrn.fit_now_first, carry, sim.numSteps,
             lrn.train_every_n_steps, lrn.enable_learning,
             fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs
                          else None))

@@ -51,7 +51,9 @@ def make_ackermann_tracking_sim(
         socp_iters: int = 25,
         warm_start: bool = False,
         socp_iters_warm: int = 15,
-        training_iter_warm: int = 0) -> UnicycleSim:
+        training_iter_warm: int = 0,
+        first_fit_coarse_stride: int = 0,
+        first_fit_refine_iter: int = 15) -> UnicycleSim:
     """track_trajectory_ackerman_clf_bayesian equivalent
     (unicycle_move_to_pose.py:1689-1734)."""
     x0 = jnp.asarray(x0)
@@ -67,7 +69,9 @@ def make_ackermann_tracking_sim(
         max_train=max_train, training_iter=training_iter,
         shift_invariant=True, train_every_n_steps=train_every_n_steps,
         enable_learning=enable_learning, dt=dt,
-        training_iter_warm=training_iter_warm)
+        training_iter_warm=training_iter_warm,
+        first_fit_coarse_stride=first_fit_coarse_stride,
+        first_fit_refine_iter=first_fit_refine_iter)
     controller = BayesCLFControllerConfig(
         u_dim=2, clf_gamma=10.0, cost_weights=(0.33, 0.33, 0.33),
         ctrl_ref=(0.0, 0.0), max_risk=max_risk, cbf_gammas=cbf_gammas,

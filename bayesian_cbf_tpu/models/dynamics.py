@@ -278,6 +278,21 @@ class LearnedShiftInvariantDynamics(NamedTuple):
     # segmented batched runners and scan_with_scheduled_fits; the
     # per-step observe() path always uses the full budget.
     training_iter_warm: int = 0
+    # opt-in perf knob (0/1 = off): two-stage FIRST fit.  Stage 1 spends
+    # the full training_iter Adam budget on a stride-subsampled reservoir
+    # (buf[::stride], K/stride rows — the cold-start fit's job is finding
+    # the lengthscale/task-matrix REGIME, which a half-size sample
+    # determines equally well, while each MLL iteration costs ~K^3);
+    # stage 2 refines at full K for first_fit_refine_iter iterations —
+    # exactly a warm refit, which records/tpu_round3.jsonl
+    # (warm_refit_iters_ab) showed is outcome-identical near an optimum.
+    # Rationale: the first fit is 100 of the flagship's 140 total Adam
+    # iterations, and records first_fit_iters_ab pinned that naively
+    # cutting its BUDGET degrades goal-reaching monotonically — the
+    # budget is load-bearing; this keeps the budget and shrinks the
+    # per-iteration cost instead.
+    first_fit_coarse_stride: int = 0
+    first_fit_refine_iter: int = 15
 
     # ------------------------------------------------------------ state
 
@@ -576,17 +591,47 @@ class LearnedShiftInvariantDynamics(NamedTuple):
         return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, state)
 
     @property
+    def first_fit_twostage(self) -> bool:
+        """True when the first scheduled fit runs the two-stage
+        coarse-subsample + full-K-refine program (first_fit_coarse_stride
+        >= 2)."""
+        return self.first_fit_coarse_stride >= 2
+
+    def fit_now_first(self, state: LearnedDynState) -> LearnedDynState:
+        """The FIRST scheduled fit.  Default: fit_now at the full budget.
+        With first_fit_coarse_stride >= 2: stage 1 runs the full Adam
+        budget on the stride-subsampled reservoir (every stride-th ring
+        slot — consecutive slots are dt apart, so the subsample covers
+        the same trajectory span at half the density and the Gram
+        shrinks from K^2 to (K/stride)^2); stage 2 warm-refines on the
+        full reservoir for first_fit_refine_iter iterations.  The same
+        non-finite guard as fit_now wraps the whole two-stage result."""
+        if not self.first_fit_twostage:
+            return self.fit_now(state)
+        stride = self.first_fit_coarse_stride
+        sub = jax.tree.map(lambda a: a[::stride], state.buf)
+        params = self.gp.fit(state.params, sub,
+                             training_iter=self.training_iter)
+        params = self.gp.fit(params, state.buf,
+                             training_iter=self.first_fit_refine_iter)
+        new = state._replace(params=params, data=state.buf,
+                             cache=self.gp.refresh_cache(params, state.buf))
+        ok = _tree_finite((new.params, new.cache))
+        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, state)
+
+    @property
     def first_fit_differs(self) -> bool:
         """True when the first scheduled fit runs a different program from
-        later ones (the reduced warm budget) — the runners then compile two
-        fit programs and dispatch on the event index.  Known edge (benign
-        at experiment scale): the runners key "first" on the first
-        SCHEDULED event (t == train_every / fit_event == 0), so if that
-        event's fit is skipped because the buffer is still empty
-        (count_res == 0 — needs train_every steps with no accepted
-        residual pair, which no experiment config produces), the first
-        ACTUAL fit would run at the reduced warm budget."""
-        return self.warm_refits_differ
+        later ones (the reduced warm budget and/or the two-stage coarse
+        first fit) — the runners then compile two fit programs and
+        dispatch on the event index.  Known edge (benign at experiment
+        scale): the runners key "first" on the first SCHEDULED event
+        (t == train_every / fit_event == 0), so if that event's fit is
+        skipped because the buffer is still empty (count_res == 0 — needs
+        train_every steps with no accepted residual pair, which no
+        experiment config produces), the first ACTUAL fit would run at
+        the reduced warm budget."""
+        return self.warm_refits_differ or self.first_fit_twostage
 
     @property
     def warm_refits_differ(self) -> bool:

@@ -239,7 +239,7 @@ def _simulate_unicycle(sim: UnicycleSim, x0, key):
     lrn = sim.learned_dynamics
     carry = sim.init_state(x0, key)
     carry_out, (X, U, Xdot, info, knl) = scan_with_scheduled_fits(
-        sim.step_no_fit, lrn.fit_now, carry, sim.numSteps,
+        sim.step_no_fit, lrn.fit_now_first, carry, sim.numSteps,
         lrn.train_every_n_steps, lrn.enable_learning,
         fit_fn_warm=(lrn.fit_now_warm if lrn.first_fit_differs else None))
     out = RolloutOutputs(X=X, U=U, Xdot=Xdot, info=info, knl=knl)
@@ -349,7 +349,8 @@ def _simulate_unicycle_batch(sim: UnicycleSim, x0s, keys) -> RolloutOutputs:
             # "has fit yet" — safe for the same reason as
             # scan_with_scheduled_fits (count_res >= 1 at every event;
             # see its docstring's known-edge note)
-            fit = lrn.fit_now if fit_event == 0 else lrn.fit_now_warm
+            fit = (lrn.fit_now_first if fit_event == 0
+                   else lrn.fit_now_warm)
             fitted = jax.vmap(fit)(states)
             states = _where_tree(states.count_res > 0, fitted, states)
             carry = (X, states, warms)

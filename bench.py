@@ -58,6 +58,14 @@ def main():
     # reference's full-budget-every-refit semantics (129.0k steps/s vs
     # 308.5k, same record).
     training_iter_warm = int(os.environ.get("BENCH_TRAINING_ITER_WARM", "10"))
+    # Two-stage first fit (default on, outcome-gated like the warm knob):
+    # the cold-start fit keeps its full 100-iteration Adam budget but
+    # spends it on the stride-subsampled reservoir (K/2 rows, ~1/8 the
+    # Gram FLOPs/iter), then warm-refines at full K — see
+    # LearnedShiftInvariantDynamics.first_fit_coarse_stride.  Set
+    # BENCH_FIRST_FIT_STRIDE=0 for the single-stage reference semantics.
+    ff_stride = int(os.environ.get("BENCH_FIRST_FIT_STRIDE", "0"))
+    ff_refine = int(os.environ.get("BENCH_FIRST_FIT_REFINE", "15"))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
     sim = make_ackermann_tracking_sim(
         dt=0.001, numSteps=num_steps, true_L=1.0, mean_L=12.0,
@@ -65,7 +73,8 @@ def main():
         enable_learning=True, train_every_n_steps=train_every,
         max_train=max_train, training_iter=training_iter,
         socp_iters=25, warm_start=warm, socp_iters_warm=15,
-        training_iter_warm=training_iter_warm)
+        training_iter_warm=training_iter_warm,
+        first_fit_coarse_stride=ff_stride, first_fit_refine_iter=ff_refine)
 
     dtype = jnp.float64 if platform == "cpu" else jnp.float32
     x0 = jnp.asarray(STATE_START, dtype)
@@ -108,6 +117,7 @@ def main():
         "max_train": max_train,
         "warm_start": warm,
         "training_iter_warm": training_iter_warm,
+        "first_fit_coarse_stride": ff_stride,
         "wall_s_per_batch": round(dt_run, 4),
     }
 
@@ -125,7 +135,9 @@ def main():
                        train_every_n_steps=train_every,
                        max_train=max_train, training_iter=training_iter,
                        socp_iters=25, warm_start=warm, socp_iters_warm=15,
-                       training_iter_warm=training_iter_warm)
+                       training_iter_warm=training_iter_warm,
+                       first_fit_coarse_stride=ff_stride,
+                       first_fit_refine_iter=ff_refine)
             cfg.update(kw)
             vsim = mk(**cfg)
             vrun = jax.jit(lambda a, k: _simulate_unicycle_batch(vsim, a, k))

@@ -202,6 +202,14 @@ def main():
     first_iters = int(os.environ.get("OUTCOMES_TRAINING_ITER", "0"))
     if first_iters:
         learn_kw["training_iter"] = first_iters
+    # Two-stage first-fit gating knob: >=2 runs the LEARNING experiments
+    # with the coarse-subsample + full-K-refine first fit — same adoption
+    # protocol as the warm knob (records first_fit_twostage_ab).
+    ff_stride = int(os.environ.get("OUTCOMES_FIRST_FIT_STRIDE", "0"))
+    if ff_stride >= 2:
+        learn_kw["first_fit_coarse_stride"] = ff_stride
+        learn_kw["first_fit_refine_iter"] = int(
+            os.environ.get("OUTCOMES_FIRST_FIT_REFINE", "15"))
     t0 = time.time()
     res = {}
     for name, fn, kw in [
