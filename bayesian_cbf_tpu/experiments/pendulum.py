@@ -99,7 +99,8 @@ def make_pendulum_online_sim(
         train_every_n_steps=10, max_unsafe_prob=0.01,
         k_alpha=(1.0, 3.0), ctrl_range=(-15.0, 15.0),
         egreedy_scheme=(1.0, 0.01), socp_iters=25,
-        training_iter_warm=0, continuous_updates=False):
+        training_iter_warm=0, continuous_updates=False,
+        first_fit_coarse_stride=0, first_fit_refine_iter=15):
     """run_pendulum_control_online_learning configuration
     (pendulum.py:1041-1048; max_train reduced from 200 for CI speed —
     pass max_train=200 for the full config).
@@ -118,7 +119,9 @@ def make_pendulum_online_sim(
         enable_learning=True, dt=dt,
         training_iter_warm=training_iter_warm,
         continuous_updates=continuous_updates,
-        continuous_full_refresh=not continuous_updates)
+        continuous_full_refresh=not continuous_updates,
+        first_fit_coarse_stride=first_fit_coarse_stride,
+        first_fit_refine_iter=first_fit_refine_iter)
     controller = LearnedSOCPControllerConfig(
         u_dim=1, x_dim=2, ctrl_reg=1.0, clf_relax_weight=100.0,
         max_unsafe_prob=max_unsafe_prob, k_alpha=k_alpha,
