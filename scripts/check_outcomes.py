@@ -397,7 +397,9 @@ def main():
     # round-5).  Same safety verdicts as the reference-schedule batch.
     cusim = make_pendulum_online_sim(max_train=200, continuous_updates=True,
                                      train_every_n_steps=100,
-                                     training_iter_warm=5)
+                                     training_iter_warm=5,
+                                     first_fit_coarse_stride=3,
+                                     first_fit_refine_iter=5)
     cX, cU, cXdot, cinfo = run_pendulum_online_batch(cusim, px0s)
     cX = np.asarray(cX)
     cdmg = np.array([pendulum_damage_fraction(cX[b, :, 0])
