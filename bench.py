@@ -64,7 +64,7 @@ def main():
     # Gram FLOPs/iter), then warm-refines at full K — see
     # LearnedShiftInvariantDynamics.first_fit_coarse_stride.  Set
     # BENCH_FIRST_FIT_STRIDE=0 for the single-stage reference semantics.
-    ff_stride = int(os.environ.get("BENCH_FIRST_FIT_STRIDE", "3"))
+    ff_stride = int(os.environ.get("BENCH_FIRST_FIT_STRIDE", "4"))
     ff_refine = int(os.environ.get("BENCH_FIRST_FIT_REFINE", "15"))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
     sim = make_ackermann_tracking_sim(
