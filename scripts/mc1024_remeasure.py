@@ -24,8 +24,9 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 import numpy as np
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "records", "tpu_round4.jsonl")
+OUT = os.environ.get("MC_OUT", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "records", "tpu_round4.jsonl"))
 
 
 def main():
@@ -37,12 +38,18 @@ def main():
 
     n = int(os.environ.get("MC_N", "1024"))
     warm = int(os.environ.get("MC_WARM", "10"))
+    # MC_FF_STRIDE=0 reproduces the pre-two-stage records; the adopted
+    # flagship default is stride=4/refine=15 (first_fit_twostage_ab,
+    # first_fit_twostage_stride_saturation_ab)
+    ff_stride = int(os.environ.get("MC_FF_STRIDE", "0"))
+    ff_refine = int(os.environ.get("MC_FF_REFINE", "15"))
     sim = make_ackermann_tracking_sim(
         dt=0.001, numSteps=2000, true_L=1.0, mean_L=12.0,
         kernel_diag_A=(1.0, 1.0, 1.0), max_risk=0.01,
         enable_learning=True, train_every_n_steps=400,
         max_train=200, training_iter=100, socp_iters=25,
-        warm_start=True, socp_iters_warm=15, training_iter_warm=warm)
+        warm_start=True, socp_iters_warm=15, training_iter_warm=warm,
+        first_fit_coarse_stride=ff_stride, first_fit_refine_iter=ff_refine)
     x0 = jnp.asarray(STATE_START, jnp.float32)
     x0s = x0[None, :] + 0.05 * jax.random.normal(
         jax.random.PRNGKey(0), (n, 3), jnp.float32)
@@ -65,9 +72,11 @@ def main():
     gd = jnp.linalg.norm(out.X[:, -1, :2] - jnp.asarray(STATE_GOAL)[:2],
                          axis=-1)
     rec = {
-        "item": "flagship_monte_carlo_1024_definitive",
+        "item": os.environ.get("MC_ITEM",
+                               "flagship_monte_carlo_%d" % n),
         "episodes": n, "steps": 2000, "max_train": 200,
         "fit_inverse": cholinv.FIT_INVERSE, "training_iter_warm": warm,
+        "first_fit_coarse_stride": ff_stride,
         "collision_fraction": round(float(stats["collision_fraction"]), 5),
         "mean_goal_distance": round(float(stats["mean_goal_distance"]), 4),
         "frac_goal_lt_1": round(float(jnp.mean(gd < 1.0)), 4),
